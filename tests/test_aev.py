@@ -1,0 +1,146 @@
+"""AEV parity and invariance tests (model: reference tests/test_aev.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchani_tpu as tt
+from torchani_tpu.neighbors import all_pairs
+
+from conftest import load_golden
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    return load_golden("aev_goldens.npz")
+
+
+@pytest.mark.parametrize("name,factory", [("aev1x", tt.AEVComputer.like_1x), ("aev2x", tt.AEVComputer.like_2x)])
+def test_aev_matches_reference(goldens, name, factory):
+    aevc = factory()
+    elem = jnp.asarray(goldens[f"{name}_elem"])
+    coords = jnp.asarray(goldens["coords"])
+    aevs = np.asarray(aevc(elem, coords))
+    np.testing.assert_allclose(aevs, goldens[f"{name}_values"], atol=5e-6, rtol=1e-5)
+
+
+def test_aev_jit_matches_eager(goldens):
+    aevc = tt.AEVComputer.like_1x()
+    elem = jnp.asarray(goldens["aev1x_elem"])
+    coords = jnp.asarray(goldens["coords"])
+    eager = aevc(elem, coords)
+    jitted = jax.jit(lambda c, e, x: c(e, x))(aevc, elem, coords)
+    np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), atol=1e-6)
+
+
+def test_aev_pbc_matches_reference():
+    g = load_golden("aev_pbc_goldens.npz")
+    aevc = tt.AEVComputer.like_1x()
+    aevs = np.asarray(
+        aevc(
+            jnp.asarray(g["species"]),
+            jnp.asarray(g["coords"]),
+            cell=jnp.asarray(g["cell"]),
+            pbc=jnp.asarray(np.array([True, True, True])),
+        )
+    )
+    np.testing.assert_allclose(aevs, g["values"], atol=5e-6, rtol=1e-5)
+
+
+def test_translation_invariance(goldens):
+    aevc = tt.AEVComputer.like_1x()
+    elem = jnp.asarray(goldens["aev1x_elem"][:2])
+    coords = jnp.asarray(goldens["coords"][:2])
+    base = np.asarray(aevc(elem, coords))
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        shift = jnp.asarray(rng.randn(1, 1, 3).astype(np.float32) * 10)
+        shifted = np.asarray(aevc(elem, coords + shift))
+        np.testing.assert_allclose(shifted, base, atol=1e-4)
+
+
+def test_pbc_translation_invariance():
+    g = load_golden("aev_pbc_goldens.npz")
+    aevc = tt.AEVComputer.like_1x()
+    cell = jnp.asarray(g["cell"])
+    pbc = jnp.asarray(np.array([True, True, True]))
+    elem = jnp.asarray(g["species"][:1])
+    coords = jnp.asarray(g["coords"][:1])
+    base = np.asarray(aevc(elem, coords, cell=cell, pbc=pbc))
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        shift = jnp.asarray(rng.randn(3).astype(np.float32) * 7)
+        out = np.asarray(aevc(elem, coords + shift, cell=cell, pbc=pbc))
+        np.testing.assert_allclose(out, base, atol=2e-4)
+
+
+def test_padding_equivalence(goldens):
+    """Adding padding atoms must not change real atoms' AEVs."""
+    aevc = tt.AEVComputer.like_1x()
+    elem = goldens["aev1x_elem"][:2]
+    coords = goldens["coords"][:2]
+    base = np.asarray(aevc(jnp.asarray(elem), jnp.asarray(coords)))
+    pad_elem = np.concatenate([elem, np.full((2, 5), -1, dtype=elem.dtype)], axis=1)
+    pad_coords = np.concatenate(
+        [coords, np.zeros((2, 5, 3), dtype=coords.dtype)], axis=1
+    )
+    padded = np.asarray(aevc(jnp.asarray(pad_elem), jnp.asarray(pad_coords)))
+    np.testing.assert_allclose(padded[:, : elem.shape[1]], base, atol=1e-6)
+    assert np.abs(padded[:, elem.shape[1]:]).max() == 0.0
+
+
+def test_batch_equals_individual(goldens):
+    aevc = tt.AEVComputer.like_1x()
+    elem = goldens["aev1x_elem"]
+    coords = goldens["coords"]
+    batched = np.asarray(aevc(jnp.asarray(elem), jnp.asarray(coords)))
+    for i in range(3):
+        single = np.asarray(aevc(jnp.asarray(elem[i: i + 1]), jnp.asarray(coords[i: i + 1])))
+        np.testing.assert_allclose(single[0], batched[i], atol=1e-6)
+
+
+def test_isolated_atom_and_beyond_cutoff():
+    aevc = tt.AEVComputer.like_1x()
+    # single atom: AEV must be exactly zero
+    aev = np.asarray(aevc(jnp.asarray([[0]]), jnp.zeros((1, 1, 3))))
+    assert np.abs(aev).max() == 0.0
+    # two atoms far beyond cutoff
+    coords = np.zeros((1, 2, 3), dtype=np.float32)
+    coords[0, 1, 0] = 100.0
+    aev = np.asarray(aevc(jnp.asarray([[0, 1]]), jnp.asarray(coords)))
+    assert np.abs(aev).max() == 0.0
+
+
+def test_superimposed_atoms_no_nan():
+    aevc = tt.AEVComputer.like_1x()
+    coords = np.zeros((1, 3, 3), dtype=np.float32)
+    coords[0, 2, 0] = 1.0
+    aev = np.asarray(aevc(jnp.asarray([[0, 0, 1]]), jnp.asarray(coords)))
+    assert np.isfinite(aev).all()
+
+
+def test_gradients_flow():
+    """Forces (reverse) and grad-of-grad (force training) are finite."""
+    aevc = tt.AEVComputer.like_1x()
+    elem = jnp.asarray([[0, 1, 2, 3]])
+    rng = np.random.RandomState(3)
+    coords = jnp.asarray(rng.rand(1, 4, 3).astype(np.float32) * 2)
+
+    def total(c):
+        return jnp.sum(aevc(elem, c) ** 2)
+
+    g = jax.grad(total)(coords)
+    assert np.isfinite(np.asarray(g)).all()
+    gg = jax.grad(lambda c: jnp.sum(jax.grad(total)(c) ** 2))(coords)
+    assert np.isfinite(np.asarray(gg)).all()
+
+
+def test_compute_from_neighbors_matches_call(goldens):
+    aevc = tt.AEVComputer.like_1x()
+    elem = jnp.asarray(goldens["aev1x_elem"][:2])
+    coords = jnp.asarray(goldens["coords"][:2])
+    direct = aevc(elem, coords)
+    nbrs = all_pairs(aevc.radial.cutoff, elem, coords)
+    via = aevc.compute_from_neighbors(elem, coords, nbrs)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(via), atol=1e-6)

@@ -1,0 +1,206 @@
+"""Generate golden parity data by running the reference implementation.
+
+The reference's own golden files (NeuroChem pickles for 97 GDB molecules)
+are not present in this environment (broken download symlinks), so we follow
+the same strategy one level up: run the *reference TorchANI* itself (pure
+Python paths, CPU) on deterministic random molecules and record inputs,
+weights and outputs.  Tests then check the TPU build against these files
+without importing torch.
+
+Run:  python tools/make_goldens.py
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, "/tmp/refstub")
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import warnings  # noqa: E402
+
+warnings.filterwarnings("ignore")
+
+import torch  # noqa: E402
+import torchani  # noqa: E402
+
+OUT = Path(__file__).resolve().parent.parent / "tests" / "resources"
+OUT.mkdir(parents=True, exist_ok=True)
+
+SEED = 1234
+
+
+def random_molecules(rng, num, max_atoms, znums=(1, 6, 7, 8)):
+    species = np.full((num, max_atoms), -1, dtype=np.int64)
+    coords = np.zeros((num, max_atoms, 3), dtype=np.float32)
+    for i in range(num):
+        n = rng.randint(3, max_atoms + 1)
+        species[i, :n] = rng.choice(znums, size=n)
+        coords[i, :n] = rng.rand(n, 3) * 4.0
+    return species, coords
+
+
+def make_aev_goldens():
+    """AEV values for like_1x (cosine) and like_2x (cosine) computers."""
+    rng = np.random.RandomState(SEED)
+    species, coords = random_molecules(rng, 8, 12)
+    out = {"species": species, "coords": coords}
+    for name, aevc, conv in (
+        ("aev1x", torchani.AEVComputer.like_1x(), (1, 6, 7, 8)),
+        ("aev2x", torchani.AEVComputer.like_2x(), (1, 6, 7, 8, 16, 9, 17)),
+    ):
+        table = np.full(120, -1, dtype=np.int64)
+        for i, z in enumerate(conv):
+            table[z] = i
+        elem = np.where(species >= 0, table[np.clip(species, 0, 119)], -1)
+        with torch.no_grad():
+            aevs = aevc(torch.tensor(elem), torch.tensor(coords)).numpy()
+        out[f"{name}_elem"] = elem
+        out[f"{name}_values"] = aevs
+    np.savez_compressed(OUT / "aev_goldens.npz", **out)
+    print("wrote aev_goldens.npz")
+
+
+def make_aev_pbc_goldens():
+    """AEV values under PBC with a tight cell (images matter)."""
+    rng = np.random.RandomState(SEED + 1)
+    num, a = 4, 10
+    species = rng.choice([0, 1, 2, 3], size=(num, a)).astype(np.int64)
+    cell = np.eye(3, dtype=np.float32) * 6.0
+    cell[1, 0] = 1.0  # mild triclinicity
+    coords = (rng.rand(num, a, 3).astype(np.float32) - 0.2) @ cell
+    aevc = torchani.AEVComputer.like_1x()
+    pbc = torch.tensor([True, True, True])
+    # NOTE: the reference's batched-PBC path is silently broken (its
+    # _all_pairs_pbc indices lack per-molecule offsets, so molecules 1+ use
+    # molecule 0's geometry) — generate goldens one molecule at a time.
+    chunks = []
+    with torch.no_grad():
+        for m in range(num):
+            chunks.append(
+                aevc(
+                    torch.tensor(species[m: m + 1]),
+                    torch.tensor(coords[m: m + 1]),
+                    cell=torch.tensor(cell),
+                    pbc=pbc,
+                ).numpy()
+            )
+    aevs = np.concatenate(chunks, axis=0)
+    np.savez_compressed(
+        OUT / "aev_pbc_goldens.npz",
+        species=species,
+        coords=coords,
+        cell=cell,
+        values=aevs,
+    )
+    print("wrote aev_pbc_goldens.npz")
+
+
+def make_model_goldens():
+    """simple_ani (ensemble 2) energies/forces + its full state dict."""
+    torch.manual_seed(SEED)
+    ref = torchani.arch.simple_ani(("H", "C", "N", "O"), lot="wb97x-631gd", ensemble_size=2)
+    ref.eval()
+    sd = {f"sd.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    rng = np.random.RandomState(SEED + 2)
+    species, coords = random_molecules(rng, 6, 10)
+    ts = torch.tensor(species)
+    tc = torch.tensor(coords, requires_grad=True)
+    energies = ref((ts, tc)).energies
+    forces = -torch.autograd.grad(energies.sum(), tc)[0]
+    with torch.no_grad():
+        atomic = ref((ts, torch.tensor(coords)), atomic=True).energies.numpy()
+        members = ref((ts, torch.tensor(coords)), ensemble_values=True).energies.numpy()
+    np.savez_compressed(
+        OUT / "model_goldens.npz",
+        species=species,
+        coords=coords,
+        energies=energies.detach().numpy(),
+        forces=forces.detach().numpy(),
+        atomic=atomic,
+        members=members,
+        **sd,
+    )
+    print("wrote model_goldens.npz")
+
+
+def make_potential_goldens():
+    """xTB and ZBL pair-potential energies/forces on random molecules."""
+    from torchani.potentials import RepulsionXTB, RepulsionZBL
+
+    rng = np.random.RandomState(SEED + 3)
+    species, coords = random_molecules(rng, 4, 8)
+    table = np.full(120, -1, dtype=np.int64)
+    for i, z in enumerate((1, 6, 7, 8)):
+        table[z] = i
+    elem = np.where(species >= 0, table[np.clip(species, 0, 119)], -1)
+    out = {"species": species, "coords": coords, "elem": elem}
+    for name, pot in (
+        ("xtb", RepulsionXTB(("H", "C", "N", "O"), cutoff=5.2)),
+        ("zbl", RepulsionZBL(("H", "C", "N", "O"), cutoff=5.2)),
+        ("xtb_inf", RepulsionXTB(("H", "C", "N", "O"))),
+    ):
+        tc = torch.tensor(coords, requires_grad=True)
+        e = pot(torch.tensor(elem), tc, atomic_nums_input=False)
+        f = -torch.autograd.grad(e.sum(), tc)[0]
+        # NOTE: reference Potential.forward(atomic=True) silently routes the
+        # flag into the `charge` positional of compute_from_neighbors, so
+        # per-atom energies must be requested via compute_from_neighbors.
+        from torchani.neighbors import all_pairs as ref_all_pairs
+
+        with torch.no_grad():
+            nbrs = ref_all_pairs(
+                pot.cutoff if pot.cutoff != float("inf") else float("inf"),
+                torch.tensor(elem),
+                torch.tensor(coords),
+            )
+            atomic = pot.compute_from_neighbors(
+                torch.tensor(elem), torch.tensor(coords), nbrs, atomic=True
+            ).energies.numpy()
+        out[f"{name}_energies"] = e.detach().numpy()
+        out[f"{name}_forces"] = f.detach().numpy()
+        out[f"{name}_atomic"] = atomic
+    np.savez_compressed(OUT / "potential_goldens.npz", **out)
+    print("wrote potential_goldens.npz")
+
+
+def make_vib_goldens():
+    """Hessian + vibrational frequencies for a small molecule."""
+    torch.manual_seed(SEED)
+    ref = torchani.arch.simple_ani(("H", "C", "N", "O"), lot="wb97x-631gd", ensemble_size=1)
+    ref.eval()
+    sd = {f"sd.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    # water-like geometry
+    species = np.array([[8, 1, 1]], dtype=np.int64)
+    coords = np.array(
+        [[[0.0, 0.0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]]],
+        dtype=np.float32,
+    )
+    res = torchani.grad.single_point(
+        ref,
+        torch.tensor(species),
+        torch.tensor(coords),
+        forces=True,
+        hessians=True,
+    )
+    np.savez_compressed(
+        OUT / "vib_goldens.npz",
+        species=species,
+        coords=coords,
+        energies=res["energies"].detach().numpy(),
+        forces=res["forces"].detach().numpy(),
+        hessians=res["hessians"].detach().numpy(),
+        **sd,
+    )
+    print("wrote vib_goldens.npz")
+
+
+if __name__ == "__main__":
+    make_aev_goldens()
+    make_aev_pbc_goldens()
+    make_model_goldens()
+    make_potential_goldens()
+    make_vib_goldens()

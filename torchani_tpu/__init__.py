@@ -1,0 +1,47 @@
+"""TorchANI-TPU: a TPU-native (JAX/XLA/Pallas) framework for ANI-style
+neural network interatomic potentials.
+
+A ground-up rebuild of the capabilities of TorchANI (the reference ANI
+implementation) designed for TPU hardware: fixed-capacity padded neighbor
+structures, masked one-hot contractions on the MXU, functional pytree models,
+``jax.grad`` forces/Hessians, and ``shard_map`` data parallelism.
+"""
+
+from torchani_tpu import (
+    constants,
+    cutoffs,
+    grad,
+    models,
+    neighbors,
+    potentials,
+    units,
+    utils,
+)
+from torchani_tpu.aev import AEVComputer
+from torchani_tpu.arch import ANI, Assembler, simple_ani
+from torchani_tpu.grad import single_point
+from torchani_tpu.nn import ANINetworks, AtomicNetworks, Ensemble, SpeciesConverter
+from torchani_tpu.sae import SelfEnergy
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AEVComputer",
+    "ANI",
+    "ANINetworks",
+    "Assembler",
+    "AtomicNetworks",
+    "Ensemble",
+    "SelfEnergy",
+    "SpeciesConverter",
+    "simple_ani",
+    "single_point",
+    "constants",
+    "models",
+    "potentials",
+    "cutoffs",
+    "grad",
+    "neighbors",
+    "units",
+    "utils",
+]

@@ -1,0 +1,21 @@
+"""Atomic environment vector (AEV) computation."""
+
+from torchani_tpu.aev.computer import AEVComputer
+from torchani_tpu.aev.terms import (
+    ANIAngular,
+    ANIRadial,
+    BaseAngular,
+    BaseRadial,
+    parse_angular_term,
+    parse_radial_term,
+)
+
+__all__ = [
+    "AEVComputer",
+    "ANIAngular",
+    "ANIRadial",
+    "BaseAngular",
+    "BaseRadial",
+    "parse_angular_term",
+    "parse_radial_term",
+]

@@ -1,0 +1,155 @@
+"""Weight conversion from the reference (torch) state-dict key scheme.
+
+The reference stores models as flat torch state dicts with keys like
+``potentials.nnp.neural_networks.members.{e}.atomics.{sym}.layers.{i}.weight``
+(see reference ``arch.py`` module structure).  This module loads such dicts
+(from ``.pt`` files via torch, or from plain ``.npz``) into the TPU-native
+pytree model, transposing Linear weights ``(out, in) -> (in, out)`` and
+zero-padding the ragged per-element layer shapes into the stacked layout.
+"""
+
+import typing as tp
+
+import jax.numpy as jnp
+import numpy as np
+
+from torchani_tpu.arch import ANI
+from torchani_tpu.nn import AtomicNetworks, Ensemble
+
+__all__ = [
+    "load_torch_state_dict",
+    "numpy_state_dict",
+    "load_state_dict",
+]
+
+
+def load_torch_state_dict(path) -> tp.Dict[str, np.ndarray]:
+    """Load a ``.pt`` state dict into numpy arrays (requires torch)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def numpy_state_dict(torch_module) -> tp.Dict[str, np.ndarray]:
+    """State dict of a live torch module as numpy arrays (for tests)."""
+    return {
+        k: v.detach().cpu().numpy() for k, v in torch_module.state_dict().items()
+    }
+
+
+def _network_arrays(
+    sd: tp.Mapping[str, np.ndarray], prefix: str, symbols: tp.Sequence[str]
+) -> tp.Dict[str, tp.List[tp.Tuple[np.ndarray, tp.Optional[np.ndarray]]]]:
+    """Collect per-symbol [(W, b), ...] layers (torch layout) under prefix."""
+    out: tp.Dict[str, tp.List[tp.Tuple[np.ndarray, tp.Optional[np.ndarray]]]] = {}
+    for sym in symbols:
+        layers = []
+        i = 0
+        while f"{prefix}atomics.{sym}.layers.{i}.weight" in sd:
+            w = sd[f"{prefix}atomics.{sym}.layers.{i}.weight"]
+            b = sd.get(f"{prefix}atomics.{sym}.layers.{i}.bias")
+            layers.append((w, b))
+            i += 1
+        w = sd[f"{prefix}atomics.{sym}.final_layer.weight"]
+        b = sd.get(f"{prefix}atomics.{sym}.final_layer.bias")
+        layers.append((w, b))
+        out[sym] = layers
+    return out
+
+
+def _fill_container(
+    container: AtomicNetworks,
+    per_symbol: tp.Mapping[str, tp.List[tp.Tuple[np.ndarray, tp.Optional[np.ndarray]]]],
+) -> AtomicNetworks:
+    num_layers = len(container.weights)
+    new_weights = []
+    new_biases = [] if container.biases is not None else None
+    for li in range(num_layers):
+        wstack = np.zeros(np.shape(container.weights[li]), dtype=np.float32)
+        bstack = (
+            np.zeros(np.shape(container.biases[li]), dtype=np.float32)
+            if container.biases is not None
+            else None
+        )
+        for si, sym in enumerate(container.symbols):
+            w, b = per_symbol[sym][li]
+            wt = np.asarray(w, dtype=np.float32).T  # (in, out)
+            wstack[si, : wt.shape[0], : wt.shape[1]] = wt
+            if bstack is not None and b is not None:
+                bb = np.asarray(b, dtype=np.float32)
+                bstack[si, : bb.shape[0]] = bb
+        new_weights.append(jnp.asarray(wstack))
+        if new_biases is not None:
+            new_biases.append(jnp.asarray(bstack))
+    return container.replace(
+        weights=tuple(new_weights),
+        biases=None if new_biases is None else tuple(new_biases),
+    )
+
+
+def load_state_dict(model: ANI, sd: tp.Mapping[str, np.ndarray]) -> ANI:
+    """Return a copy of ``model`` with weights taken from a torch state dict."""
+    sd = dict(sd)
+    symbols = model.symbols
+    pots = dict(model.potentials)
+    nnp = pots["nnp"]
+
+    # AEV constants
+    aev = nnp.aev_computer
+    prefix = "potentials.nnp.aev_computer."
+
+    def grab(name, current):
+        arr = sd.get(prefix + name)
+        if arr is None:
+            return current
+        return jnp.asarray(np.asarray(arr, dtype=np.float32).reshape(np.shape(current)))
+
+    radial = aev.radial.replace(
+        eta=grab("radial.eta", aev.radial.eta),
+        shifts=grab("radial.shifts", aev.radial.shifts),
+    )
+    angular = aev.angular.replace(
+        eta=grab("angular.eta", aev.angular.eta),
+        zeta=grab("angular.zeta", aev.angular.zeta),
+        shifts=grab("angular.shifts", aev.angular.shifts),
+        sections=grab("angular.sections", aev.angular.sections),
+    )
+    aev = aev.replace(radial=radial, angular=angular)
+
+    # Networks
+    networks = nnp.neural_networks
+    base = "potentials.nnp.neural_networks."
+    if isinstance(networks, Ensemble):
+        members = []
+        for e in range(networks.total_members_num):
+            per_symbol = _network_arrays(sd, f"{base}members.{e}.", symbols)
+            members.append(_fill_container(networks.member(e), per_symbol))
+        networks = Ensemble.from_members(members).replace(
+            active_members=networks.active_members
+        )
+    else:
+        per_symbol = _network_arrays(sd, base, symbols)
+        networks = _fill_container(networks, per_symbol)
+    pots["nnp"] = nnp.replace(aev_computer=aev, neural_networks=networks)
+
+    # Extra pair potentials (xTB repulsion tables etc.)
+    for name, pot in pots.items():
+        if name == "nnp":
+            continue
+        updates = {}
+        for field in ("y_ab", "sqrt_alpha_ab", "k_rep_ab"):
+            arr = sd.get(f"potentials.{name}.{field}")
+            if arr is not None and hasattr(pot, field):
+                updates[field] = jnp.asarray(np.asarray(arr, dtype=np.float32))
+        if updates:
+            pots[name] = pot.replace(**updates)
+
+    shifter = model.energy_shifter
+    if "energy_shifter.self_energies" in sd:
+        shifter = shifter.replace(
+            self_energies=jnp.asarray(
+                np.asarray(sd["energy_shifter.self_energies"], dtype=np.float32)
+            )
+        )
+    return model.replace(potentials=pots, energy_shifter=shifter)

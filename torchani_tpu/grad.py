@@ -1,0 +1,201 @@
+"""Autograd wrappers: forces, Hessians, vibrational analysis, single_point.
+
+Counterpart of ``/root/reference/torchani/grad.py``.  Where the reference
+drives ``torch.autograd.grad`` (forces) and a row-by-row loop of grads
+(Hessians, ``grad.py:122-141``), here everything is a composition of
+``jax.grad`` / ``jax.jacfwd``: the Hessian is one forward-over-reverse pass.
+"""
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+from torchani_tpu.annotations import Array
+from torchani_tpu.tuples import VibAnalysis
+from torchani_tpu.units import sqrt_mhessian2invcm, mhessian2fconst
+from torchani_tpu.utils import get_atomic_masses
+
+__all__ = [
+    "energies",
+    "forces",
+    "energies_and_forces",
+    "forces_for_training",
+    "hessians",
+    "vibrational_analysis",
+    "single_point",
+]
+
+
+def energies(
+    model,
+    species: Array,
+    coords: Array,
+    cell: tp.Optional[Array] = None,
+    pbc: tp.Optional[Array] = None,
+    **kwargs,
+) -> Array:
+    return model(species, coords, cell, pbc, **kwargs)
+
+
+def _energy_sum(model, species, coords, cell, pbc, **kwargs):
+    return jnp.sum(model(species, coords, cell, pbc, **kwargs))
+
+
+def forces(
+    model,
+    species: Array,
+    coords: Array,
+    cell: tp.Optional[Array] = None,
+    pbc: tp.Optional[Array] = None,
+    **kwargs,
+) -> Array:
+    """Forces = -dE/dr, shape ``(molecules, atoms, 3)``."""
+    g = jax.grad(_energy_sum, argnums=2)(model, species, coords, cell, pbc, **kwargs)
+    return -g
+
+
+def energies_and_forces(
+    model,
+    species: Array,
+    coords: Array,
+    cell: tp.Optional[Array] = None,
+    pbc: tp.Optional[Array] = None,
+    **kwargs,
+) -> tp.Tuple[Array, Array]:
+    e, g = jax.value_and_grad(_energy_sum, argnums=2)(
+        model, species, coords, cell, pbc, **kwargs
+    )
+    # value_and_grad collapses energies; recompute per-molecule energies is
+    # free under jit (CSE), so call the model again for the vector output.
+    e_vec = model(species, coords, cell, pbc, **kwargs)
+    return e_vec, -g
+
+
+#: alias — in JAX the same code path supports grad-of-grad (force training)
+forces_for_training = forces
+
+
+def hessians(
+    model,
+    species: Array,
+    coords: Array,
+    cell: tp.Optional[Array] = None,
+    pbc: tp.Optional[Array] = None,
+) -> Array:
+    """Hessian of each molecule, shape ``(molecules, 3A, 3A)``.
+
+    One ``jacfwd`` of the force function (forward-over-reverse), replacing the
+    reference's O(3A) backward-pass loop.
+    """
+    c, a = species.shape
+
+    def flat_grad(flat_coords: Array) -> Array:
+        g = jax.grad(_energy_sum, argnums=2)(
+            model, species, flat_coords.reshape(c, a, 3), cell, pbc
+        )
+        return g.reshape(c, a * 3)
+
+    h = jax.jacfwd(flat_grad)(coords.reshape(c, a * 3))  # (C, 3A, C, 3A)
+    # energies of molecule i depend only on coords of i: take the block diagonal
+    idx = jnp.arange(c)
+    return h[idx, :, idx, :]
+
+
+def vibrational_analysis(
+    masses: Array,  # (C, A)
+    hessian: Array,  # (C, 3A, 3A)
+    mode_type: str = "MDU",
+    unit: str = "cm^-1",
+) -> VibAnalysis:
+    """Normal-mode analysis from mass-weighted Hessian eigendecomposition.
+
+    Mirrors reference ``grad.py:152-260`` (MDU modes: mass-deweighted,
+    unnormalized).  Supports a single molecule or a batch.
+    """
+    if unit not in ("cm^-1", "meV"):
+        raise ValueError("Only cm^-1 and meV are supported right now")
+    c, a = masses.shape
+    inv_sqrt_m = 1.0 / jnp.sqrt(masses)  # (C, A)
+    inv_sqrt_m3 = jnp.repeat(inv_sqrt_m, 3, axis=-1)  # (C, 3A)
+    mass_scaled = hessian * inv_sqrt_m3[:, :, None] * inv_sqrt_m3[:, None, :]
+    eigenvalues, eigenvectors = jnp.linalg.eigh(mass_scaled)
+    # angular frequencies -> wavenumbers; negative eigenvalues -> imaginary
+    # frequencies reported as negative (reference convention)
+    signs = jnp.sign(eigenvalues)
+    angular = jnp.sqrt(jnp.abs(eigenvalues)) * signs
+    frequencies = angular / (2 * jnp.pi)
+    wavenumbers = sqrt_mhessian2invcm(frequencies)
+
+    # modes: columns of eigenvectors, mass-deweighted
+    mw_normalized = jnp.swapaxes(eigenvectors, -1, -2)  # (C, 3A, 3A) rows=modes
+    md_unnormalized = mw_normalized * inv_sqrt_m3[:, None, :]
+    norm = jnp.linalg.norm(md_unnormalized, axis=-1, keepdims=True)
+    rmasses = 1.0 / (norm**2)[..., 0]  # (C, 3A)
+    fconstants = mhessian2fconst(eigenvalues) * rmasses
+    if mode_type == "MDU":
+        modes = md_unnormalized
+    elif mode_type == "MDN":
+        modes = md_unnormalized / norm
+    elif mode_type == "MWN":
+        modes = mw_normalized
+    else:
+        raise ValueError(f"Unsupported mode type {mode_type}")
+    modes = modes.reshape(c, 3 * a, a, 3)
+    return VibAnalysis(wavenumbers, modes, fconstants, rmasses)
+
+
+def single_point(
+    model,
+    species: Array,
+    coords: Array,
+    cell: tp.Optional[Array] = None,
+    pbc: tp.Optional[Array] = None,
+    charge: int = 0,
+    forces: bool = False,
+    hessians: bool = False,
+    atomic_energies: bool = False,
+    ensemble_values: bool = False,
+    vibrational: bool = False,
+) -> tp.Dict[str, Array]:
+    """Master single-point entry (reference ``grad.py:293-399``).
+
+    Returns a dict with ``energies`` and any requested derived quantities.
+    """
+    out: tp.Dict[str, Array] = {}
+    if ensemble_values:
+        member_energies = model(
+            species, coords, cell, pbc, charge=charge, ensemble_values=True
+        )
+        elem_idxs = model._convert(species)
+        num_atoms = jnp.sum(elem_idxs >= 0, axis=-1)
+        out["energies"] = jnp.mean(member_energies, axis=0)
+        out["ensemble_energies"] = member_energies
+        out["ensemble_std"] = jnp.std(member_energies, axis=0, ddof=1)
+        out["qbcs"] = out["ensemble_std"] / jnp.sqrt(
+            num_atoms.astype(member_energies.dtype)
+        )
+    else:
+        out["energies"] = model(species, coords, cell, pbc, charge=charge)
+    if atomic_energies:
+        out["atomic_energies"] = model(
+            species, coords, cell, pbc, charge=charge, atomic=True
+        )
+    if forces:
+        g = jax.grad(_energy_sum, argnums=2)(model, species, coords, cell, pbc)
+        out["forces"] = -g
+    if hessians or vibrational:
+        h = globals()["hessians"](model, species, coords, cell, pbc)
+        out["hessians"] = h
+        if vibrational:
+            elem_idxs = model._convert(species)
+            znums = species if model.periodic_table_index else jnp.asarray(
+                model.atomic_numbers
+            )[jnp.where(elem_idxs < 0, 0, elem_idxs)]
+            masses = get_atomic_masses(znums)
+            vib = vibrational_analysis(masses, h)
+            out["freqs"] = vib.freqs
+            out["modes"] = vib.modes
+            out["force_constants"] = vib.fconstants
+            out["reduced_masses"] = vib.rmasses
+    return out

@@ -1,0 +1,9 @@
+"""Multi-chip sharding helpers."""
+
+from torchani_tpu.parallel.sharding import (
+    make_mesh,
+    shard_batch,
+    shard_ensemble,
+)
+
+__all__ = ["make_mesh", "shard_batch", "shard_ensemble"]

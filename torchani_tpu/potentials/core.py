@@ -1,0 +1,189 @@
+"""Base classes for atomic potentials.
+
+TPU-native counterparts of ``/root/reference/torchani/potentials/core.py``.
+Pair potentials operate on the padded *full* neighbor table (`Neighbors`,
+``(C, A, K)``): per-lane energies are computed with masked broadcasting, and
+per-atom / per-molecule reductions are masked sums (each true pair appears in
+two lanes, hence the 0.5 factor — replacing the reference's half-pair-list
+``index_add_`` scatter, ``core.py:195-207``).
+"""
+
+import math
+import typing as tp
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from torchani_tpu.annotations import Array, Symbols
+from torchani_tpu.constants import ATOMIC_NUMBER
+from torchani_tpu.cutoffs import Cutoff, CutoffArg, CutoffDummy, parse_cutoff_fn
+from torchani_tpu.neighbors import Neighbors, all_pairs, adaptive_list
+from torchani_tpu.nn import SpeciesConverter
+from torchani_tpu.tuples import EnergiesScalars
+from torchani_tpu.units import ANGSTROM_TO_BOHR
+
+__all__ = ["Potential", "DummyPotential", "BasePairPotential"]
+
+
+class Potential(struct.PyTreeNode):
+    """Base class for all atomic potentials.
+
+    Subclasses must implement `compute_from_neighbors` and declare their
+    (static) ``cutoff``.  ``math.inf`` means "needs all pairs".
+    """
+
+    symbols: Symbols = struct.field(pytree_node=False)
+    cutoff: float = struct.field(pytree_node=False, default=math.inf)
+    enabled: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def atomic_numbers(self) -> tp.Tuple[int, ...]:
+        return tuple(ATOMIC_NUMBER[s] for s in self.symbols)
+
+    @property
+    def num_species(self) -> int:
+        return len(self.symbols)
+
+    def __call__(
+        self,
+        species: Array,
+        coords: Array,
+        cell: tp.Optional[Array] = None,
+        pbc: tp.Optional[Array] = None,
+        atomic: bool = False,
+        ensemble_values: bool = False,
+        atomic_nums_input: bool = True,
+    ) -> Array:
+        """Standalone evaluation: build a neighborlist, then compute."""
+        if atomic_nums_input:
+            elem_idxs = SpeciesConverter(self.symbols)(species)
+        else:
+            elem_idxs = species
+        assert elem_idxs.ndim == 2
+        assert coords.shape == elem_idxs.shape + (3,)
+        cutoff = self.cutoff
+        if math.isinf(cutoff):
+            neighbors = all_pairs(cutoff, elem_idxs, coords, cell, pbc)
+        elif elem_idxs.shape[0] == 1:
+            neighbors = adaptive_list(cutoff, elem_idxs, coords, cell, pbc)
+        else:
+            neighbors = all_pairs(cutoff, elem_idxs, coords, cell, pbc)
+        return self.compute_from_neighbors(
+            elem_idxs, coords, neighbors, atomic=atomic,
+            ensemble_values=ensemble_values,
+        ).energies
+
+    def compute_from_neighbors(
+        self,
+        elem_idxs: Array,
+        coords: tp.Optional[Array],
+        neighbors: Neighbors,
+        charge: int = 0,
+        atomic: bool = False,
+        ensemble_values: bool = False,
+        ghost_flags: tp.Optional[Array] = None,
+    ) -> EnergiesScalars:
+        raise NotImplementedError("Must be implemented by subclasses")
+
+
+class DummyPotential(Potential):
+    def compute_from_neighbors(
+        self,
+        elem_idxs: Array,
+        coords: tp.Optional[Array],
+        neighbors: Neighbors,
+        charge: int = 0,
+        atomic: bool = False,
+        ensemble_values: bool = False,
+        ghost_flags: tp.Optional[Array] = None,
+    ) -> EnergiesScalars:
+        shape = elem_idxs.shape if atomic else elem_idxs.shape[:1]
+        return EnergiesScalars(jnp.zeros(shape, dtype=jnp.float32))
+
+
+class BasePairPotential(Potential):
+    """Template for 2-body potentials.
+
+    Subclasses implement `pair_energies` over the masked lanes of a
+    neighbor table.  The base wraps it with the cutoff-function envelope,
+    optional ghost-pair 0.5 scaling (domain-decomposition hook, reference
+    ``core.py:170-178``), and masked reductions.
+    """
+
+    cutoff_fn: Cutoff = struct.field(pytree_node=False, default=CutoffDummy())
+
+    ANGSTROM_TO_BOHR: tp.ClassVar[float] = ANGSTROM_TO_BOHR
+
+    @staticmethod
+    def clamp(distances: Array) -> Array:
+        return jnp.clip(distances, min=1e-7)
+
+    def pair_energies(self, elem_idxs: Array, neighbors: Neighbors) -> Array:
+        """Per-lane pair energies, shape ``(..., A, K)``.
+
+        ``elem_idxs`` is flat ``(N,)`` over all atoms of the (flattened)
+        batch; ``neighbors.idx`` indexes into it.  Masked lanes may hold
+        arbitrary values — the caller masks them out.
+        """
+        raise NotImplementedError("Must be overriden by subclasses")
+
+    def elem_pairs(
+        self, elem_flat: Array, neighbors: Neighbors
+    ) -> tp.Tuple[Array, Array]:
+        """(center, neighbor) element indices per lane, shape ``(N, K)``."""
+        center = elem_flat[:, None]
+        nbr = jnp.take(elem_flat, neighbors.idx, axis=0)
+        nbr = jnp.where(neighbors.mask, nbr, 0)
+        center = jnp.where(neighbors.mask, center, 0)
+        return center, nbr
+
+    def compute_from_neighbors(
+        self,
+        elem_idxs: Array,  # (C, A)
+        coords: tp.Optional[Array],
+        neighbors: Neighbors,  # (C, A, K)
+        charge: int = 0,
+        atomic: bool = False,
+        ensemble_values: bool = False,
+        ghost_flags: tp.Optional[Array] = None,
+    ) -> EnergiesScalars:
+        c, a = elem_idxs.shape
+        k = neighbors.capacity
+        flat = lambda t: t.reshape((c * a,) + t.shape[3:])  # noqa: E731
+        offsets = (jnp.arange(c, dtype=jnp.int32) * a)[:, None, None]
+        nb = Neighbors(
+            idx=(neighbors.idx + offsets).reshape(c * a, k),
+            mask=neighbors.mask.reshape(c * a, k),
+            diff=neighbors.diff.reshape(c * a, k, 3),
+            dist=neighbors.dist.reshape(c * a, k),
+            overflow=neighbors.overflow,
+        )
+        elem_flat = elem_idxs.reshape(-1)
+        e = self.pair_energies(elem_flat, nb)  # (N, K)
+        if not isinstance(self.cutoff_fn, CutoffDummy) and not math.isinf(self.cutoff):
+            e = e * self.cutoff_fn(nb.dist, self.cutoff)
+        if ghost_flags is not None:
+            gf = ghost_flags.reshape(-1)
+            ghost_pair = gf[:, None] | jnp.where(nb.mask, jnp.take(gf, nb.idx, axis=0), False)
+            e = jnp.where(ghost_pair, e * 0.5, e)
+        e = jnp.where(nb.mask, e, 0.0)
+        atomic_e = 0.5 * jnp.sum(e, axis=-1).reshape(c, a)  # full table: x2 lanes
+        if atomic:
+            return EnergiesScalars(atomic_e)
+        return EnergiesScalars(jnp.sum(atomic_e, axis=-1))
+
+    # ---- element-pair constant helpers ----
+    @staticmethod
+    def pack_pair_table(values: tp.Sequence[float], num_species: int) -> Array:
+        """Pack triu-ordered pair values (HH, HC, HO, CC, ...) into (S, S)."""
+        values = np.asarray(values, dtype=np.float32)
+        iu = np.triu_indices(num_species)
+        table = np.zeros((num_species, num_species), dtype=np.float32)
+        table[iu] = values
+        table = table + np.triu(table, 1).T
+        return jnp.asarray(table)
+
+    def to_pair_values(self, table: Array, elem_center: Array, elem_nbr: Array) -> Array:
+        """Look up per-lane values from a symmetric (S, S) table."""
+        return table[elem_center, elem_nbr]

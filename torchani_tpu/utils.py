@@ -1,0 +1,218 @@
+"""Misc utilities used throughout the code.
+
+TPU-native counterparts of the reference helpers in
+``/root/reference/torchani/utils.py`` (padding, symbol conversion, cell
+mapping).  Host-side batching helpers operate on numpy arrays; device-side
+helpers are pure jnp and jit-safe.
+"""
+
+import math
+import typing as tp
+
+import jax.numpy as jnp
+import numpy as np
+
+from torchani_tpu.annotations import Array, Symbols
+from torchani_tpu.constants import ATOMIC_NUMBER, MASS, PERIODIC_TABLE
+
+__all__ = [
+    "SYMBOLS_1X",
+    "SYMBOLS_2X",
+    "SYMBOLS_2X_ZNUM_ORDER",
+    "PADDING",
+    "ATOMIC_KEYS",
+    "linspace",
+    "pad_atomic_properties",
+    "strip_redundant_padding",
+    "map_to_central",
+    "species_to_formula",
+    "sort_by_atomic_num",
+    "symbols_to_atomic_numbers",
+    "atomic_numbers_to_symbols",
+    "get_atomic_masses",
+    "ChemicalSymbolsToInts",
+    "AtomicNumbersToMasses",
+    "cumsum_from_zero",
+]
+
+#: Elements used in the ANI-1x and ANI-1ccx models, in model order
+SYMBOLS_1X: Symbols = ("H", "C", "N", "O")
+#: Elements used in the ANI-2x model, in ani2x model order
+SYMBOLS_2X: Symbols = ("H", "C", "N", "O", "S", "F", "Cl")
+#: Elements used in the ANI-2x model, in atomic-number order
+SYMBOLS_2X_ZNUM_ORDER: Symbols = ("H", "C", "N", "O", "F", "S", "Cl")
+
+#: Default padding values for batched atomic properties
+PADDING: tp.Dict[str, float] = {
+    "species": -1,
+    "numbers": -1,
+    "atomic_numbers": -1,
+    "coordinates": 0.0,
+    "forces": 0.0,
+    "energies": 0.0,
+}
+
+#: Keys whose second axis is "number of atoms"
+ATOMIC_KEYS = (
+    "species",
+    "numbers",
+    "atomic_numbers",
+    "coordinates",
+    "forces",
+    "coefficients",
+    "atomic_charges",
+    "atomic_volumes_mbis",
+    "atomic_charges_mbis",
+    "atomic_dipole_magnitudes_mbis",
+    "atomic_quadrupole_magnitudes_mbis",
+    "atomic_octupole_magnitudes_mbis",
+    "atomic_dipoles",
+    "atomic_polarizabilities",
+)
+
+
+def linspace(start: float, stop: float, steps: int) -> tp.Tuple[float, ...]:
+    """Pure-python linspace, *excluding* the endpoint.
+
+    Used for reproducibility of the AEV shift constants (must bit-match the
+    reference construction at ``utils.py:101-107``).
+    """
+    return tuple(start + ((stop - start) / steps) * j for j in range(steps))
+
+
+def cumsum_from_zero(x: Array, axis: int = 0) -> Array:
+    """Exclusive cumulative sum (first element 0)."""
+    c = jnp.cumsum(x, axis=axis)
+    return c - x
+
+
+def pad_atomic_properties(
+    properties: tp.Sequence[tp.Mapping[str, np.ndarray]],
+    padding_values: tp.Optional[tp.Dict[str, float]] = None,
+) -> tp.Dict[str, np.ndarray]:
+    """Combine a sequence of property dicts into single padded arrays.
+
+    Host-side (numpy).  Inputs are ``[{'species': arr, ...}, ...]`` where each
+    array's leading axis is molecules and (for atomic keys) second axis is
+    atoms; output pads the atom axis to the max across inputs and concatenates
+    along molecules.
+    """
+    if padding_values is None:
+        padding_values = PADDING
+    properties = [{k: np.asarray(v) for k, v in p.items()} for p in properties]
+    vectors = [k for k in properties[0] if properties[0][k].ndim > 1]
+    scalars = [k for k in properties[0] if properties[0][k].ndim == 1]
+    padded_sizes = {k: max(p[k].shape[1] for p in properties) for k in vectors}
+    num_molecules = [p[vectors[0]].shape[0] for p in properties]
+    total = sum(num_molecules)
+    output: tp.Dict[str, np.ndarray] = {}
+    for k in scalars:
+        output[k] = np.concatenate([p[k] for p in properties])
+    for k in vectors:
+        first = properties[0][k]
+        dtype = first.dtype
+        if np.issubdtype(dtype, np.integer):
+            dtype = np.int64
+        shape = list(first.shape)
+        shape[0] = total
+        shape[1] = padded_sizes[k]
+        out = np.full(shape, padding_values.get(k, 0.0), dtype=dtype)
+        i0 = 0
+        for n, p in zip(num_molecules, properties):
+            out[i0:i0 + n, : p[k].shape[1], ...] = p[k]
+            i0 += n
+        output[k] = out
+    return output
+
+
+def strip_redundant_padding(
+    properties: tp.Dict[str, np.ndarray],
+    atomic_properties: tp.Iterable[str] = ATOMIC_KEYS,
+) -> tp.Dict[str, np.ndarray]:
+    """Strip atom-axis padding columns that are padding in *all* molecules."""
+    species = np.asarray(properties["species"])
+    non_padding = np.flatnonzero((species >= 0).any(axis=0))
+    for k in atomic_properties:
+        if k in properties:
+            properties[k] = np.asarray(properties[k])[:, non_padding, ...]
+    return properties
+
+
+def map_to_central(coordinates: Array, cell: Array, pbc: Array) -> Array:
+    """Map atoms outside the unit cell into the central cell using PBC.
+
+    Semantics match reference ``utils.py:237-258``: fractionalise, wrap into
+    [0, 1) along periodic axes only, convert back to cartesian.
+    """
+    inv_cell = jnp.linalg.inv(cell)
+    frac = coordinates @ inv_cell
+    frac = frac - jnp.floor(frac) * pbc
+    return frac @ cell
+
+
+def species_to_formula(species: np.ndarray) -> tp.List[str]:
+    """Array of chemical symbols -> list of formulas (alphabetical order)."""
+    species = np.asarray(species)
+    if species.ndim == 1:
+        species = species[None]
+    elif species.ndim != 2:
+        raise ValueError("Species needs to have two dims/axes")
+    formulas = []
+    for row in species:
+        symbols, counts = np.unique(row[row != ""], return_counts=True)
+        formulas.append(
+            "".join(
+                f"{s}{c}" if c > 1 else str(s) for s, c in zip(symbols, counts)
+            )
+        )
+    return formulas
+
+
+def sort_by_atomic_num(symbols: tp.Sequence[str]) -> Symbols:
+    """Sort chemical symbols by atomic number."""
+    return tuple(sorted(symbols, key=lambda s: ATOMIC_NUMBER[s]))
+
+
+def symbols_to_atomic_numbers(symbols: tp.Sequence[str]) -> tp.Tuple[int, ...]:
+    return tuple(ATOMIC_NUMBER[s] for s in symbols)
+
+
+def atomic_numbers_to_symbols(znums: tp.Sequence[int]) -> Symbols:
+    return tuple(PERIODIC_TABLE[int(z)] for z in znums)
+
+
+class ChemicalSymbolsToInts:
+    """Map chemical symbols to 0-based model element indices.
+
+    .. code-block:: python
+
+        conv = ChemicalSymbolsToInts(("H", "C", "N", "O"))
+        conv(["C", "H", "H"])  # -> array([1, 0, 0])
+    """
+
+    def __init__(self, symbols: tp.Sequence[str]) -> None:
+        self._symbols = tuple(symbols)
+        self._map = {s: i for i, s in enumerate(self._symbols)}
+
+    def __call__(self, symbols: tp.Sequence[str]) -> np.ndarray:
+        return np.array([self._map[s] for s in symbols], dtype=np.int64)
+
+    def __len__(self) -> int:
+        return len(self._symbols)
+
+
+class AtomicNumbersToMasses:
+    """Convert atomic numbers to masses (AMU); padding (-1) maps to 0."""
+
+    def __init__(self) -> None:
+        masses = [0.0] + [0.0 if math.isnan(m) else m for m in MASS[1:]]
+        self._masses = jnp.asarray(np.array(masses, dtype=np.float32))
+
+    def __call__(self, atomic_numbers: Array) -> Array:
+        znums = jnp.where(atomic_numbers < 0, 0, atomic_numbers)
+        return jnp.take(self._masses, znums, axis=0)
+
+
+def get_atomic_masses(atomic_numbers: Array) -> Array:
+    """Masses (AMU) for a tensor of atomic numbers; -1 padding maps to 0."""
+    return AtomicNumbersToMasses()(atomic_numbers)
