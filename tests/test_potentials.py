@@ -5,9 +5,23 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from torchani_tpu.potentials import RepulsionXTB, RepulsionZBL
+from torchani_tpu.potentials import (
+    DispersionLJ,
+    FixedCoulomb,
+    FixedMNOK,
+    LennardJones,
+    RepulsionLJ,
+    RepulsionXTB,
+    RepulsionZBL,
+    TwoBodyDispersionD3,
+)
 
 from conftest import load_golden
+
+ALL_NAMES = [
+    "xtb", "zbl", "xtb_inf", "d3", "d3_inf", "lj", "lj_rep", "lj_disp",
+    "coulomb", "mnok",
+]
 
 
 @pytest.fixture(scope="module")
@@ -17,16 +31,25 @@ def goldens():
 
 def _make(name):
     sym = ("H", "C", "N", "O")
-    if name == "xtb":
-        return RepulsionXTB.make(sym, cutoff=5.2)
-    if name == "zbl":
-        return RepulsionZBL.make(sym, cutoff=5.2)
-    if name == "xtb_inf":
-        return RepulsionXTB.make(sym)
-    raise ValueError(name)
+    charges = (0.2, -0.3, -0.4, 0.5)
+    etas = (0.9, 0.8, 0.7, 0.6)
+    return {
+        "xtb": lambda: RepulsionXTB.make(sym, cutoff=5.2),
+        "zbl": lambda: RepulsionZBL.make(sym, cutoff=5.2),
+        "xtb_inf": lambda: RepulsionXTB.make(sym),
+        "d3": lambda: TwoBodyDispersionD3.from_functional(sym, "wb97x", cutoff=8.0),
+        "d3_inf": lambda: TwoBodyDispersionD3.from_functional(sym, "b973c"),
+        "lj": lambda: LennardJones.ff19SB(sym, cutoff=6.0),
+        "lj_rep": lambda: RepulsionLJ.ff19SB(sym),
+        "lj_disp": lambda: DispersionLJ.ff19SB(sym),
+        "coulomb": lambda: FixedCoulomb.make(
+            sym, dielectric=2.0, charges=charges, cutoff=6.0
+        ),
+        "mnok": lambda: FixedMNOK.make(sym, charges=charges, eta=etas),
+    }[name]()
 
 
-@pytest.mark.parametrize("name", ["xtb", "zbl", "xtb_inf"])
+@pytest.mark.parametrize("name", ALL_NAMES)
 def test_energies(goldens, name):
     pot = _make(name)
     e = np.asarray(
@@ -39,7 +62,7 @@ def test_energies(goldens, name):
     np.testing.assert_allclose(e, goldens[f"{name}_energies"], atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("name", ["xtb", "zbl"])
+@pytest.mark.parametrize("name", ["xtb", "zbl", "d3", "lj", "coulomb", "mnok"])
 def test_atomic_energies(goldens, name):
     pot = _make(name)
     at = np.asarray(
@@ -53,7 +76,7 @@ def test_atomic_energies(goldens, name):
     np.testing.assert_allclose(at, goldens[f"{name}_atomic"], atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("name", ["xtb", "zbl"])
+@pytest.mark.parametrize("name", ["xtb", "zbl", "d3", "lj", "coulomb", "mnok"])
 def test_forces(goldens, name):
     pot = _make(name)
     elem = jnp.asarray(goldens["elem"])

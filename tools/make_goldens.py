@@ -128,8 +128,17 @@ def make_model_goldens():
 
 
 def make_potential_goldens():
-    """xTB and ZBL pair-potential energies/forces on random molecules."""
-    from torchani.potentials import RepulsionXTB, RepulsionZBL
+    """Pair-potential energies/forces on random molecules (xTB/ZBL/D3/LJ/Coulomb)."""
+    from torchani.potentials import (
+        DispersionLJ,
+        FixedCoulomb,
+        FixedMNOK,
+        LennardJones,
+        RepulsionLJ,
+        RepulsionXTB,
+        RepulsionZBL,
+        TwoBodyDispersionD3,
+    )
 
     rng = np.random.RandomState(SEED + 3)
     species, coords = random_molecules(rng, 4, 8)
@@ -138,10 +147,20 @@ def make_potential_goldens():
         table[z] = i
     elem = np.where(species >= 0, table[np.clip(species, 0, 119)], -1)
     out = {"species": species, "coords": coords, "elem": elem}
+    sym = ("H", "C", "N", "O")
+    charges = (0.2, -0.3, -0.4, 0.5)
+    etas = (0.9, 0.8, 0.7, 0.6)
     for name, pot in (
-        ("xtb", RepulsionXTB(("H", "C", "N", "O"), cutoff=5.2)),
-        ("zbl", RepulsionZBL(("H", "C", "N", "O"), cutoff=5.2)),
-        ("xtb_inf", RepulsionXTB(("H", "C", "N", "O"))),
+        ("xtb", RepulsionXTB(sym, cutoff=5.2)),
+        ("zbl", RepulsionZBL(sym, cutoff=5.2)),
+        ("xtb_inf", RepulsionXTB(sym)),
+        ("d3", TwoBodyDispersionD3.from_functional(sym, "wb97x", cutoff=8.0)),
+        ("d3_inf", TwoBodyDispersionD3.from_functional(sym, "b973c")),
+        ("lj", LennardJones.ff19SB(sym, cutoff=6.0)),
+        ("lj_rep", RepulsionLJ.ff19SB(sym)),
+        ("lj_disp", DispersionLJ.ff19SB(sym)),
+        ("coulomb", FixedCoulomb(sym, dielectric=2.0, charges=charges, cutoff=6.0)),
+        ("mnok", FixedMNOK(sym, charges=charges, eta=etas)),
     ):
         tc = torch.tensor(coords, requires_grad=True)
         e = pot(torch.tensor(elem), tc, atomic_nums_input=False)

@@ -79,6 +79,13 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+@functools.lru_cache(maxsize=None)
+def _diag_pair_pos(num_species: int) -> np.ndarray:
+    """Positions of the (s, s) diagonal pairs in upper-tri row-major order."""
+    s = num_species
+    return np.array([i * s - i * (i - 1) // 2 for i in range(s)], dtype=np.int32)
+
+
 class AEVComputer(struct.PyTreeNode):
     """Computes atomic environment vectors for batches of molecules.
 
@@ -233,7 +240,7 @@ class AEVComputer(struct.PyTreeNode):
         if radial_capacity <= 48:
             return radial_capacity
         est = int(
-            radial_capacity * (self.angular.cutoff / self.radial.cutoff) ** 3 * 2.0
+            radial_capacity * (self.angular.cutoff / self.radial.cutoff) ** 3 * 1.5
         )
         est = max(32, _ceil_to(est, 8))
         return min(est, radial_capacity)
@@ -286,6 +293,9 @@ class AEVComputer(struct.PyTreeNode):
 
         triu = jnp.asarray(_triu_index(s))
 
+        # Species-pair packing map: p(s1, s2) with s1 <= s2 (upper-tri order)
+        iu1, iu2 = np.triu_indices(s)
+
         def angular_block(args):
             mask, dist, diff, elem = args  # (blk, Ka[,3])
             pair_mask = (
@@ -306,18 +316,23 @@ class AEVComputer(struct.PyTreeNode):
                 cosang,
             )  # (blk, Ka, Ka, Z)
             terms = terms * pair_mask[..., None]
-            pair_id = triu[elem[:, :, None], elem[:, None, :]]  # (blk, Ka, Ka)
-            pair_onehot = jax.nn.one_hot(
-                jnp.where(pair_mask, pair_id, -1), p, dtype=terms.dtype
-            )
             z = self.angular.num_feats
-            out = jnp.einsum(
-                "nqz,nqp->npz",
-                terms.reshape(blk, ka * ka, z),
-                pair_onehot.reshape(blk, ka * ka, p),
-                precision=_HIGHEST,
-            )
-            return out.reshape(blk, self.angular_len)
+            # Two-sided decomposition of the species-pair one-hot:
+            #   V[s1, s2, z] = sum_{j<k} T[j, k, z] oh[j, s1] oh[k, s2]
+            #   aev[p{s1, s2}] = V[s1, s2] + V[s2, s1]  (s1 < s2; diag once)
+            # This replaces one (Z x Q x P) matmul per atom with a
+            # (j*z x k x S) + (z*S x j x S) pair — ~5x fewer FLOPs and no
+            # (blk, Ka, Ka, P) one-hot tensor.
+            oh = jax.nn.one_hot(
+                jnp.where(mask, elem, -1), s, dtype=terms.dtype
+            )  # (blk, Ka, S)
+            w = jnp.einsum("njkz,nkt->njzt", terms, oh, precision=_HIGHEST)
+            v = jnp.einsum("njzt,njs->nstz", w, oh, precision=_HIGHEST)
+            sym = v + jnp.swapaxes(v, 1, 2)  # (blk, S, S, Z)
+            diag = v[:, jnp.arange(s), jnp.arange(s)]  # (blk, S, Z)
+            packed = sym[:, iu1, iu2, :]  # (blk, P, Z) — off-diag correct
+            packed = packed.at[:, _diag_pair_pos(s), :].set(diag)
+            return packed.reshape(blk, self.angular_len)
 
         if nblk == 1:
             angular_aev = angular_block((amask, adist, adiff, aelem))

@@ -1,0 +1,203 @@
+"""Command line interface.
+
+Counterpart of the reference ``ani`` CLI (``/root/reference/torchani/cli.py``:
+``ani sp`` single points from xyz with JSON output; ``ani data ...`` dataset
+management).  Built on argparse (no third-party CLI dependency); adds an
+``md`` subcommand for the jitted MD driver.
+"""
+
+import argparse
+import json
+import sys
+import typing as tp
+
+import numpy as np
+
+__all__ = ["main"]
+
+
+def _build_model(name: str, ensemble_member: tp.Optional[int]):
+    from torchani_tpu import models, simple_ani
+
+    factories = {
+        "ani1x": models.ANI1x,
+        "ani1ccx": models.ANI1ccx,
+        "ani2x": models.ANI2x,
+        "ani2xr": models.ANI2xr,
+        "anidr": models.ANIdr,
+    }
+    if name in factories:
+        try:
+            return factories[name](model_index=ensemble_member)
+        except FileNotFoundError as e:
+            print(f"warning: {e}; using random-init weights", file=sys.stderr)
+            return factories[name](model_index=ensemble_member, pretrained=False)
+    if name == "simple":
+        return simple_ani(("H", "C", "N", "O"))
+    raise SystemExit(f"Unknown model {name!r}")
+
+
+def cmd_sp(args) -> None:
+    """Single-point energies (and optional derivatives) from an xyz file."""
+    import jax.numpy as jnp
+
+    from torchani_tpu.grad import single_point
+    from torchani_tpu.io import read_xyz
+
+    model = _build_model(args.model, args.ensemble_member)
+    species, coords, cell, pbc = read_xyz(args.xyz)
+    out = single_point(
+        model,
+        jnp.asarray(species),
+        jnp.asarray(coords),
+        None if cell is None else jnp.asarray(cell),
+        None if (pbc is None or not pbc.any()) else jnp.asarray(pbc),
+        forces=args.forces,
+        hessians=args.hessians,
+        vibrational=args.vib,
+    )
+    result = {k: np.asarray(v).tolist() for k, v in out.items()}
+    text = json.dumps(result, indent=None if args.compact else 1)
+    if args.output:
+        with open(args.output, "wt") as f:
+            f.write(text)
+    else:
+        print(text)
+
+
+def cmd_md(args) -> None:
+    """Run MD from an xyz file and report basic observables."""
+    import jax
+
+    from torchani_tpu.io import read_xyz, write_xyz
+    from torchani_tpu.md import MolecularDynamics, kinetic_temperature
+
+    model = _build_model(args.model, args.ensemble_member)
+    species, coords, cell, pbc = read_xyz(args.xyz)
+    periodic = cell is not None and pbc is not None and bool(np.asarray(pbc).any())
+    md = MolecularDynamics(
+        model,
+        species[:1],
+        cell=cell if periodic else None,
+        pbc=periodic,
+        timestep_fs=args.timestep,
+    )
+    state = md.init(coords[0], temperature=args.temperature, key=jax.random.PRNGKey(args.seed))
+    chunk = max(1, min(args.steps, 50))
+    done = 0
+    while done < args.steps:
+        n = min(chunk, args.steps - done)
+        if args.nvt:
+            state = md.run_langevin(state, n, temperature=args.temperature)
+        else:
+            state = md.run_nve(state, n)
+        done += n
+        temp = float(kinetic_temperature(state.velocities, md.masses))
+        print(
+            f"step {done:8d}  E = {float(state.energy):14.6f} Ha  "
+            f"T = {temp:8.1f} K  rebuilds = {int(state.rebuilds)}"
+        )
+    if args.output:
+        write_xyz(
+            species[:1],
+            np.asarray(state.coords)[None],
+            args.output,
+            cell=cell if periodic else None,
+        )
+
+
+def cmd_data_ls(args) -> None:
+    from torchani_tpu.datasets import ANIDataset
+
+    ds = ANIDataset(args.location)
+    for name, size in sorted(ds.group_sizes().items()):
+        print(f"{name}\t{size}")
+
+
+def cmd_data_info(args) -> None:
+    from torchani_tpu.datasets import ANIDataset
+
+    ds = ANIDataset(args.location)
+    info = {
+        "groups": len(ds),
+        "conformers": ds.num_conformers,
+        "properties": sorted(ds.properties),
+        "metadata": ds.store.get_metadata(),
+    }
+    print(json.dumps(info, indent=1))
+
+
+def cmd_data_convert(args) -> None:
+    from torchani_tpu.datasets import ANIDataset
+
+    ds = ANIDataset(args.location)
+    ds.to_backend(args.dest)
+    print(f"wrote {args.dest}")
+
+
+def cmd_data_pack(args) -> None:
+    from torchani_tpu.datasets import create_batched_dataset
+
+    dest = create_batched_dataset(
+        args.location,
+        args.dest,
+        batch_size=args.batch_size,
+        rng_seed=args.seed,
+    )
+    print(f"wrote batched dataset to {dest}")
+
+
+def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="ani-tpu", description="TPU-native ANI models CLI"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("sp", help="single-point calculations from an xyz file")
+    p.add_argument("xyz")
+    p.add_argument("-m", "--model", default="ani2x")
+    p.add_argument("--ensemble-member", type=int, default=None)
+    p.add_argument("-f", "--forces", action="store_true")
+    p.add_argument("--hessians", action="store_true")
+    p.add_argument("--vib", action="store_true")
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("--compact", action="store_true")
+    p.set_defaults(fn=cmd_sp)
+
+    p = sub.add_parser("md", help="run molecular dynamics from an xyz file")
+    p.add_argument("xyz")
+    p.add_argument("-m", "--model", default="ani2x")
+    p.add_argument("--ensemble-member", type=int, default=None)
+    p.add_argument("-n", "--steps", type=int, default=100)
+    p.add_argument("--timestep", type=float, default=1.0)
+    p.add_argument("--temperature", type=float, default=300.0)
+    p.add_argument("--nvt", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-o", "--output", default=None)
+    p.set_defaults(fn=cmd_md)
+
+    data = sub.add_parser("data", help="dataset management")
+    dsub = data.add_subparsers(dest="data_command", required=True)
+    p = dsub.add_parser("ls", help="list groups and sizes")
+    p.add_argument("location")
+    p.set_defaults(fn=cmd_data_ls)
+    p = dsub.add_parser("info", help="dataset summary as JSON")
+    p.add_argument("location")
+    p.set_defaults(fn=cmd_data_info)
+    p = dsub.add_parser("convert", help="convert between storage backends")
+    p.add_argument("location")
+    p.add_argument("dest")
+    p.set_defaults(fn=cmd_data_convert)
+    p = dsub.add_parser("pack", help="create a batched dataset")
+    p.add_argument("location")
+    p.add_argument("dest")
+    p.add_argument("--batch-size", type=int, default=2560)
+    p.add_argument("--seed", type=int, default=1234)
+    p.set_defaults(fn=cmd_data_pack)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

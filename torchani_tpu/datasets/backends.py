@@ -1,0 +1,258 @@
+"""Pluggable storage backends for conformer datasets.
+
+TPU-native counterpart of the reference's store abstraction
+(``/root/reference/torchani/datasets/backends/interface.py:24-561`` and the
+HDF5/parquet implementations).  A `Store` is a mutable mapping of named
+conformer *groups*; each group is a dict of numpy arrays sharing a leading
+conformer axis (and an atom axis for atomic keys).
+
+Backends: HDF5 (primary, h5py), Parquet (pandas/pyarrow), and in-memory.
+"""
+
+import json
+import typing as tp
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["Store", "HDF5Store", "ParquetStore", "InMemoryStore", "create_store"]
+
+Conformers = tp.Dict[str, np.ndarray]
+
+
+class Store:
+    """Abstract mutable mapping: group name -> {property: array}."""
+
+    def keys(self) -> tp.List[str]:
+        raise NotImplementedError
+
+    def get(self, name: str, properties: tp.Optional[tp.Sequence[str]] = None) -> Conformers:
+        raise NotImplementedError
+
+    def put(self, name: str, conformers: Conformers) -> None:
+        raise NotImplementedError
+
+    def append_to(self, name: str, conformers: Conformers) -> None:
+        data = self.get(name)
+        merged = {}
+        if set(data) != set(conformers):
+            raise ValueError(
+                f"Property mismatch appending to {name}: "
+                f"{sorted(data)} vs {sorted(conformers)}"
+            )
+        for k in data:
+            merged[k] = np.concatenate([data[k], np.asarray(conformers[k])])
+        self.put(name, merged)
+
+    def delete(self, name: str) -> None:
+        raise NotImplementedError
+
+    def properties(self) -> tp.Set[str]:
+        props: tp.Set[str] = set()
+        for k in self.keys():
+            props |= set(self.get(k).keys())
+        return props
+
+    def group_sizes(self) -> tp.Dict[str, int]:
+        sizes = {}
+        for k in self.keys():
+            g = self.get(k)
+            first = next(iter(g.values()))
+            sizes[k] = int(np.shape(first)[0])
+        return sizes
+
+    # metadata
+    def get_metadata(self) -> tp.Dict[str, str]:
+        return {}
+
+    def set_metadata(self, meta: tp.Dict[str, str]) -> None:
+        raise NotImplementedError
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.keys()
+
+    def __len__(self) -> int:
+        return len(self.keys())
+
+
+class InMemoryStore(Store):
+    def __init__(self) -> None:
+        self._groups: tp.Dict[str, Conformers] = {}
+        self._meta: tp.Dict[str, str] = {}
+
+    def keys(self) -> tp.List[str]:
+        return sorted(self._groups)
+
+    def get(self, name, properties=None) -> Conformers:
+        g = self._groups[name]
+        if properties is not None:
+            return {k: g[k] for k in properties}
+        return dict(g)
+
+    def put(self, name, conformers) -> None:
+        self._groups[name] = {k: np.asarray(v) for k, v in conformers.items()}
+
+    def delete(self, name) -> None:
+        del self._groups[name]
+
+    def get_metadata(self):
+        return dict(self._meta)
+
+    def set_metadata(self, meta):
+        self._meta.update(meta)
+
+
+class HDF5Store(Store):
+    """HDF5-backed store: one group per conformer set, one dataset per key.
+
+    Also reads "legacy" ANI-1x style files (nested groups; each leaf group
+    holding datasets is flattened to a ``/``-joined name), mirroring the
+    reference's recursive visitor (``backends/hdf5_impl.py:20-210``).
+    """
+
+    def __init__(self, path, mode: str = "a") -> None:
+        import h5py
+
+        self.path = Path(path)
+        self._h5py = h5py
+        self._mode = mode
+        # Create the file if missing (mode 'a')
+        with self._open("a" if mode != "r" else "r"):
+            pass
+
+    def _open(self, mode: tp.Optional[str] = None):
+        return self._h5py.File(self.path, mode or self._mode)
+
+    def keys(self) -> tp.List[str]:
+        names: tp.List[str] = []
+
+        def visit(name, obj):
+            if isinstance(obj, self._h5py.Group) and any(
+                isinstance(child, self._h5py.Dataset) for child in obj.values()
+            ):
+                names.append(name)
+
+        with self._open("r") as f:
+            f.visititems(visit)
+        return sorted(names)
+
+    def get(self, name, properties=None) -> Conformers:
+        with self._open("r") as f:
+            g = f[name]
+            keys = properties if properties is not None else list(g.keys())
+            out = {}
+            for k in keys:
+                arr = np.asarray(g[k])
+                if arr.dtype.kind == "S" or arr.dtype.kind == "O":
+                    arr = arr.astype(str)
+                out[k] = arr
+            return out
+
+    def put(self, name, conformers) -> None:
+        with self._open("a") as f:
+            if name in f:
+                del f[name]
+            g = f.create_group(name)
+            for k, v in conformers.items():
+                v = np.asarray(v)
+                if v.dtype.kind == "U":
+                    v = v.astype("S")
+                g.create_dataset(k, data=v)
+
+    def delete(self, name) -> None:
+        with self._open("a") as f:
+            del f[name]
+
+    def get_metadata(self):
+        with self._open("r") as f:
+            return {k: str(v) for k, v in f.attrs.items()}
+
+    def set_metadata(self, meta):
+        with self._open("a") as f:
+            for k, v in meta.items():
+                f.attrs[k] = v
+
+
+class ParquetStore(Store):
+    """Parquet-backed store: one file per group + a JSON sidecar with shapes."""
+
+    def __init__(self, path, mode: str = "a") -> None:
+        import pandas  # noqa: F401 (availability check)
+
+        self.dir = Path(path)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._meta_path = self.dir / "_metadata.json"
+
+    def _sidecar(self, name: str) -> Path:
+        return self.dir / f"{name.replace('/', '__')}.shapes.json"
+
+    def _file(self, name: str) -> Path:
+        return self.dir / f"{name.replace('/', '__')}.parquet"
+
+    def keys(self) -> tp.List[str]:
+        return sorted(
+            p.stem.replace("__", "/")
+            for p in self.dir.glob("*.parquet")
+        )
+
+    def get(self, name, properties=None) -> Conformers:
+        import pandas as pd
+
+        df = pd.read_parquet(self._file(name))
+        shapes = json.loads(self._sidecar(name).read_text())
+        out = {}
+        keys = properties if properties is not None else list(shapes)
+        for k in keys:
+            flat = np.stack(df[k].to_numpy())
+            shape = shapes[k]
+            out[k] = flat.reshape([len(df)] + shape)
+        return out
+
+    def put(self, name, conformers) -> None:
+        import pandas as pd
+
+        n = int(np.shape(next(iter(conformers.values())))[0])
+        cols = {}
+        shapes = {}
+        for k, v in conformers.items():
+            v = np.asarray(v)
+            shapes[k] = list(v.shape[1:])
+            cols[k] = list(v.reshape(n, -1))
+        pd.DataFrame(cols).to_parquet(self._file(name))
+        self._sidecar(name).write_text(json.dumps(shapes))
+
+    def delete(self, name) -> None:
+        self._file(name).unlink()
+        self._sidecar(name).unlink(missing_ok=True)
+
+    def get_metadata(self):
+        if self._meta_path.exists():
+            return json.loads(self._meta_path.read_text())
+        return {}
+
+    def set_metadata(self, meta):
+        data = self.get_metadata()
+        data.update(meta)
+        self._meta_path.write_text(json.dumps(data))
+
+
+def create_store(location, backend: tp.Optional[str] = None, mode: str = "a") -> Store:
+    """Open/create a store; backend inferred from the location suffix."""
+    if backend is None:
+        if location is None:
+            backend = "memory"
+        else:
+            suffix = Path(location).suffix
+            backend = {
+                ".h5": "hdf5",
+                ".hdf5": "hdf5",
+                ".pq": "parquet",
+                ".parquet": "parquet",
+            }.get(suffix, "hdf5" if suffix else "parquet")
+    if backend == "memory":
+        return InMemoryStore()
+    if backend == "hdf5":
+        return HDF5Store(location, mode)
+    if backend == "parquet":
+        return ParquetStore(location, mode)
+    raise ValueError(f"Unsupported backend: {backend}")

@@ -1,0 +1,244 @@
+"""Batching engine: shuffle, split, pad, pack.
+
+Counterpart of the reference batching stack
+(``/root/reference/torchani/datasets/batching.py:25-699``): shuffle all
+(group, conformer) index pairs with a seeded RNG, split into named divisions
+(fraction splits or k-folds), pack fixed-size padded batches, apply a
+`torchani_tpu.transforms.Transform`, and either keep batches in RAM or write
+one ``.npz`` file per batch (each file IS a batch).  A ``creation_log.json``
+records provenance (seed, splits, properties).
+
+TPU notes: batches are padded on BOTH axes — atoms to the division max and
+(optionally) molecules to the batch size — so every batch of a division has
+identical shapes and the training step compiles once.
+"""
+
+import json
+import typing as tp
+from pathlib import Path
+
+import numpy as np
+
+from torchani_tpu.datasets.anidataset import ANIDataset
+from torchani_tpu.transforms import Transform, identity
+from torchani_tpu.utils import pad_atomic_properties
+
+__all__ = [
+    "Batcher",
+    "ANIBatchedDataset",
+    "ANIBatchedInMemoryDataset",
+    "create_batched_dataset",
+    "batch_all_in_ram",
+]
+
+Properties = tp.Dict[str, np.ndarray]
+
+
+class ANIBatchedInMemoryDataset:
+    """A division's batches held in RAM; iterable, optionally shuffled."""
+
+    def __init__(self, batches: tp.List[Properties]) -> None:
+        self._batches = batches
+
+    def __len__(self) -> int:
+        return len(self._batches)
+
+    def __getitem__(self, i: int) -> Properties:
+        return self._batches[i]
+
+    def __iter__(self) -> tp.Iterator[Properties]:
+        return iter(self._batches)
+
+    def shuffled(self, seed: int = 0) -> tp.Iterator[Properties]:
+        order = np.random.RandomState(seed).permutation(len(self._batches))
+        for i in order:
+            yield self._batches[i]
+
+
+class ANIBatchedDataset:
+    """A division stored as one ``.npz`` file per batch."""
+
+    def __init__(self, root, division: str = "training") -> None:
+        self.dir = Path(root) / division
+        if not self.dir.is_dir():
+            raise FileNotFoundError(f"No batched division at {self.dir}")
+        self._files = sorted(self.dir.glob("batch_*.npz"))
+
+    def __len__(self) -> int:
+        return len(self._files)
+
+    def __getitem__(self, i: int) -> Properties:
+        with np.load(self._files[i]) as data:
+            return {k: data[k] for k in data.files}
+
+    def __iter__(self) -> tp.Iterator[Properties]:
+        for i in range(len(self)):
+            yield self[i]
+
+    def shuffled(self, seed: int = 0) -> tp.Iterator[Properties]:
+        order = np.random.RandomState(seed).permutation(len(self))
+        for i in order:
+            yield self[i]
+
+
+class Batcher:
+    """Batch creation: shuffle -> divisions -> padded batches."""
+
+    def __init__(
+        self,
+        rng_seed: tp.Optional[int] = None,
+        shuffle: bool = True,
+    ) -> None:
+        self.rng_seed = rng_seed if rng_seed is not None else 1234
+        self.shuffle = shuffle
+
+    def divide(
+        self,
+        dataset: ANIDataset,
+        splits: tp.Optional[tp.Dict[str, float]] = None,
+        folds: tp.Optional[int] = None,
+    ) -> tp.Dict[str, tp.List[tp.Tuple[str, int]]]:
+        """Shuffle all (group, conformer-idx) pairs and split into divisions."""
+        pairs: tp.List[tp.Tuple[str, int]] = []
+        for name, size in sorted(dataset.group_sizes().items()):
+            pairs.extend((name, i) for i in range(size))
+        rng = np.random.RandomState(self.rng_seed)
+        if self.shuffle:
+            rng.shuffle(pairs)
+        if folds is not None:
+            out: tp.Dict[str, tp.List[tp.Tuple[str, int]]] = {}
+            n = len(pairs)
+            for f in range(folds):
+                lo, hi = f * n // folds, (f + 1) * n // folds
+                out[f"validation{f}"] = pairs[lo:hi]
+                out[f"training{f}"] = pairs[:lo] + pairs[hi:]
+            return out
+        if splits is None:
+            splits = {"training": 0.8, "validation": 0.2}
+        if not np.isclose(sum(splits.values()), 1.0):
+            raise ValueError("Split fractions must sum to 1.0")
+        out = {}
+        start = 0
+        n = len(pairs)
+        items = list(splits.items())
+        for i, (name, frac) in enumerate(items):
+            stop = n if i == len(items) - 1 else start + int(round(frac * n))
+            out[name] = pairs[start:stop]
+            start = stop
+        return out
+
+    def gather_batches(
+        self,
+        dataset: ANIDataset,
+        division_pairs: tp.List[tp.Tuple[str, int]],
+        batch_size: int,
+        properties: tp.Optional[tp.Sequence[str]] = None,
+        transform: Transform = identity,
+        pad_molecules: bool = False,
+    ) -> tp.List[Properties]:
+        """Materialize padded batches for one division.
+
+        Conformers are fetched group-by-group (bounding random reads, the
+        packet idea of the reference) then assembled in shuffled order.
+        """
+        # fetch per group, preserving division order via an index map
+        by_group: tp.Dict[str, tp.List[int]] = {}
+        for name, i in division_pairs:
+            by_group.setdefault(name, []).append(i)
+        cache: tp.Dict[str, Properties] = {}
+        for name, idxs in by_group.items():
+            cache[name] = dataset.get_conformers(
+                name, np.asarray(sorted(idxs)), properties
+            )
+            cache[name]["__idx"] = np.asarray(sorted(idxs))
+        batches = []
+        for b0 in range(0, len(division_pairs), batch_size):
+            chunk = division_pairs[b0: b0 + batch_size]
+            singles = []
+            for name, i in chunk:
+                group = cache[name]
+                j = int(np.searchsorted(group["__idx"], i))
+                singles.append(
+                    {
+                        k: v[j: j + 1]
+                        for k, v in group.items()
+                        if k != "__idx"
+                    }
+                )
+            batch = pad_atomic_properties(singles)
+            if pad_molecules and len(chunk) < batch_size:
+                batch = _pad_molecule_axis(batch, batch_size)
+            batches.append(transform(batch))
+        return batches
+
+
+def _pad_molecule_axis(batch: Properties, size: int) -> Properties:
+    out = {}
+    for k, v in batch.items():
+        pad = size - v.shape[0]
+        if pad <= 0:
+            out[k] = v
+            continue
+        fill = -1 if k in ("species", "numbers") else 0
+        shape = (pad,) + v.shape[1:]
+        out[k] = np.concatenate([v, np.full(shape, fill, dtype=v.dtype)])
+    return out
+
+
+def create_batched_dataset(
+    dataset: tp.Union[ANIDataset, str, Path],
+    dest_path: tp.Union[str, Path],
+    batch_size: int = 2560,
+    splits: tp.Optional[tp.Dict[str, float]] = None,
+    folds: tp.Optional[int] = None,
+    properties: tp.Optional[tp.Sequence[str]] = None,
+    transform: Transform = identity,
+    rng_seed: tp.Optional[int] = None,
+    shuffle: bool = True,
+) -> Path:
+    """Create an on-disk batched dataset (one npz per batch per division)."""
+    if not isinstance(dataset, ANIDataset):
+        dataset = ANIDataset(dataset)
+    dest = Path(dest_path)
+    dest.mkdir(parents=True, exist_ok=True)
+    batcher = Batcher(rng_seed=rng_seed, shuffle=shuffle)
+    divisions = batcher.divide(dataset, splits, folds)
+    log = {
+        "rng_seed": batcher.rng_seed,
+        "shuffle": shuffle,
+        "batch_size": batch_size,
+        "divisions": {k: len(v) for k, v in divisions.items()},
+        "properties": sorted(properties or dataset.properties),
+    }
+    for name, pairs in divisions.items():
+        ddir = dest / name
+        ddir.mkdir(exist_ok=True)
+        batches = batcher.gather_batches(
+            dataset, pairs, batch_size, properties, transform
+        )
+        for i, batch in enumerate(batches):
+            np.savez_compressed(ddir / f"batch_{i:06d}.npz", **batch)
+    (dest / "creation_log.json").write_text(json.dumps(log, indent=1))
+    return dest
+
+
+def batch_all_in_ram(
+    dataset: tp.Union[ANIDataset, str, Path],
+    batch_size: int = 2560,
+    splits: tp.Optional[tp.Dict[str, float]] = None,
+    properties: tp.Optional[tp.Sequence[str]] = None,
+    transform: Transform = identity,
+    rng_seed: tp.Optional[int] = None,
+    shuffle: bool = True,
+) -> tp.Dict[str, ANIBatchedInMemoryDataset]:
+    """Create all divisions as in-memory batch lists."""
+    if not isinstance(dataset, ANIDataset):
+        dataset = ANIDataset(dataset)
+    batcher = Batcher(rng_seed=rng_seed, shuffle=shuffle)
+    divisions = batcher.divide(dataset, splits)
+    return {
+        name: ANIBatchedInMemoryDataset(
+            batcher.gather_batches(dataset, pairs, batch_size, properties, transform)
+        )
+        for name, pairs in divisions.items()
+    }

@@ -145,6 +145,86 @@ def vibrational_analysis(
     return VibAnalysis(wavenumbers, modes, fconstants, rmasses)
 
 
+def stress_scaling(
+    model,
+    species: Array,
+    coords: Array,
+    cell: Array,
+    pbc: Array,
+) -> Array:
+    """Stress via the cell-scaling (epsilon-strain) trick, shape ``(3, 3)``.
+
+    ``stress = (1/V) dE/d(eps)`` evaluated at zero strain, where coords and
+    cell are scaled by ``(I + eps)`` (reference ``ase.py:111-121, 171-173``).
+
+    The neighbor topology is built once at zero strain (it cannot change to
+    first order) and the strain is applied to the cached diff vectors — this
+    keeps the neighborlist un-traced and is exactly equivalent at eps = 0.
+    """
+    volume = jnp.abs(jnp.linalg.det(cell))
+    elem_idxs = model._convert(species)
+    neighbors = model._neighborlist()(model.cutoff, elem_idxs, coords, cell, pbc)
+
+    def energy(eps):
+        scaling = jnp.eye(3, dtype=coords.dtype) + eps
+        diff = neighbors.diff @ scaling
+        nb = neighbors.replace(
+            diff=diff,
+            dist=jnp.sqrt(
+                jnp.where(neighbors.mask, jnp.sum(diff * diff, axis=-1), 1.0)
+            ),
+        )
+        return jnp.sum(
+            model.compute_from_neighbors(
+                elem_idxs, coords @ scaling, nb
+            ).energies
+        )
+
+    return jax.grad(energy)(jnp.zeros((3, 3), dtype=coords.dtype)) / volume
+
+
+def stress_fdotr(
+    model,
+    species: Array,
+    coords: Array,
+    cell: tp.Optional[Array],
+    pbc: tp.Optional[Array],
+) -> Array:
+    """Virial stress from dE/d(diff_vectors) x diff_vectors.
+
+    Works without a cell (for externally-managed domain decomposition,
+    reference ``ase.py:50-53, 122-131``); with a cell the volume normalizes.
+    """
+    from torchani_tpu.neighbors import parse_neighborlist
+
+    elem_idxs = model._convert(species)
+    nlist = model._neighborlist()
+    neighbors = nlist(model.cutoff, elem_idxs, coords, cell, pbc)
+
+    def energy(diff):
+        nb = neighbors.replace(
+            diff=diff,
+            dist=jnp.sqrt(
+                jnp.where(
+                    neighbors.mask, jnp.sum(diff * diff, axis=-1), 1.0
+                )
+            ),
+        )
+        return jnp.sum(
+            model.compute_from_neighbors(elem_idxs, coords, nb).energies
+        )
+
+    de_ddiff = jax.grad(energy)(neighbors.diff)
+    # each lane's partial derivative covers only that lane's contribution, so
+    # no double-count correction is needed for the full (two-lane) table
+    virial = jnp.einsum("...x,...y->xy", de_ddiff, neighbors.diff)
+    if cell is not None:
+        volume = jnp.abs(jnp.linalg.det(cell))
+    else:
+        volume = 1.0
+    return virial / volume
+
+
 def single_point(
     model,
     species: Array,

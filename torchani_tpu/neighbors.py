@@ -122,17 +122,41 @@ def estimate_capacity(
     num_atoms: int,
     density_per_a3: float = 0.12,
     safety: float = 1.35,
+    periodic: bool = False,
 ) -> int:
     """Heuristic padded-capacity for a neighbor table.
 
     ``density_per_a3`` defaults to slightly above liquid-water atom density
     (~0.1 atoms/A^3).  Result is rounded up to a multiple of 8 for TPU lane
-    friendliness and clipped to ``num_atoms - 1``.
+    friendliness.  For non-periodic systems it is clipped to ``num_atoms - 1``
+    (with PBC an atom can have more image neighbors than there are atoms).
     """
     vol = 4.0 / 3.0 * math.pi * cutoff**3
     k = int(math.ceil(vol * density_per_a3 * safety))
-    k = min(max(k, 8), max(num_atoms - 1, 1))
+    k = max(k, 8)
+    if not periodic:
+        k = min(k, max(num_atoms - 1, 1))
     return int(-(-k // 8) * 8) if k >= 8 else k
+
+
+def _pack_positions(valid: Array, capacity: int) -> tp.Tuple[Array, Array, Array]:
+    """Row compaction: positions of the first ``capacity`` valid candidates of
+    each row, in candidate order.
+
+    Returns ``(pos (R, K), mask (R, K), overflow ())``.  Uses top_k on
+    f32 ``-position`` keys (exact for n < 2^24): on TPU the sort-based top_k
+    beats a cumsum+binary-search formulation (measured 240ms vs 594ms at
+    (29k, 1080) rows) because take_along_axis lane-gathers lower poorly.
+    """
+    r, n = valid.shape
+    order = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+    key = jnp.where(valid, -order.astype(jnp.float32), -jnp.inf)
+    _, pos = jax.lax.top_k(key, capacity)
+    count = jnp.sum(valid, axis=1)
+    k_index = jax.lax.broadcasted_iota(jnp.int32, (r, capacity), 1)
+    mask = k_index < count[:, None]
+    overflow = jnp.any(count > capacity)
+    return pos, mask, overflow
 
 
 def _extract_rows(
@@ -147,17 +171,11 @@ def _extract_rows(
     Deterministic: preserves candidate order (not distance-sorted), so results
     are independent of XLA reduction scheduling.
     """
-    a, n = valid.shape
-    order = jax.lax.broadcasted_iota(jnp.int32, (a, n), 1)
-    # key: valid candidates keep -order (larger = earlier), invalid -> -inf
-    key = jnp.where(valid, -order.astype(jnp.float32), -jnp.inf)
-    _, top = jax.lax.top_k(key, capacity)  # (A, K) positions into N
-    mask = jnp.take_along_axis(valid, top, axis=1)
-    idx = jnp.take_along_axis(cand_idx, top, axis=1)
+    pos, mask, overflow = _pack_positions(valid, capacity)
+    idx = jnp.take_along_axis(cand_idx, pos, axis=1)
     shift = None
     if cand_shift is not None:
-        shift = jnp.take_along_axis(cand_shift, top[..., None], axis=1)
-    overflow = jnp.any(jnp.sum(valid, axis=1) > capacity)
+        shift = jnp.take_along_axis(cand_shift, pos[..., None], axis=1)
     return idx, mask, shift, overflow
 
 
@@ -329,15 +347,11 @@ def repack_to_capacity(neighbors: Neighbors, capacity: int) -> Neighbors:
     *batch, a, k = neighbors.idx.shape
 
     def pack_one(idx, mask, diff, dist):
-        order = jax.lax.broadcasted_iota(jnp.int32, (a, k), 1)
-        key = jnp.where(mask, -order.astype(jnp.float32), -jnp.inf)
-        _, top = jax.lax.top_k(key, capacity)
+        top, new_mask, overflow = _pack_positions(mask, capacity)
         take = lambda x: jnp.take_along_axis(x, top, axis=1)  # noqa: E731
-        new_mask = take(mask)
         new_dist = jnp.where(new_mask, take(dist), 1.0)
         new_diff = jnp.take_along_axis(diff, top[..., None], axis=1)
         new_diff = jnp.where(new_mask[..., None], new_diff, 0.0)
-        overflow = jnp.any(jnp.sum(mask, axis=1) > capacity)
         return take(idx), new_mask, new_diff, new_dist, overflow
 
     fn = pack_one
@@ -440,11 +454,11 @@ def cell_list(
     g = gx * gy * gz
 
     if bucket_capacity is None:
-        # ~ atoms per bucket at uniform density, with generous headroom
-        bucket_capacity = int(max(8, -(-4 * a // g) * 2))
+        # mean occupancy x 2.5 headroom (overflow is detected and flagged)
+        bucket_capacity = int(max(8, -(-5 * a // (2 * g) // 8) * 8))
     b = bucket_capacity
     if capacity is None:
-        capacity = estimate_capacity(cutoff, a)
+        capacity = estimate_capacity(cutoff, a, periodic=periodic)
 
     real = elem_idxs >= 0
     spos = jax.lax.stop_gradient(origin_coords)
@@ -458,10 +472,7 @@ def cell_list(
     bucket_id = (idx3[:, 0] * gy + idx3[:, 1]) * gz + idx3[:, 2]  # (A,)
     bucket_id = jnp.where(real, bucket_id, g)  # dummies into a trash bucket
 
-    # rank of each atom within its bucket: count of same-bucket atoms before it
-    # O(A) memory via segment-cumsum trick: scatter-add ones then prefix ranks
-    # Simple deterministic approach: sort atoms by bucket id (stable), then
-    # rank = position - start of segment.
+    # rank of each atom within its bucket (stable sort + segment start)
     order = jnp.argsort(bucket_id, stable=True)  # (A,)
     sorted_bucket = jnp.take(bucket_id, order)
     pos = jnp.arange(a, dtype=jnp.int32)
@@ -475,56 +486,82 @@ def cell_list(
     table = table.at[bucket_id, slot].set(
         jnp.where(real & (rank < b), pos, a), mode="drop"
     )
-    table = table[:g]  # drop trash bucket
+    table = table[:g]  # (G, B)
 
-    # 27-neighborhood bucket offsets
+    # ---- bucket-pair candidate generation ----
+    # Everything below is bucket-granular: gathers touch (G, ...) rows with
+    # STATIC indices (the 27-neighborhood of each bucket is known at trace
+    # time), never (A, 27, B)-shaped dynamic gathers, which lower terribly.
+    valid_slot = table < a  # (G, B)
+    safe_table = jnp.where(valid_slot, table, 0)
+    pos_b = jnp.take(spos, safe_table, axis=0)  # (G, B, 3) — G*B rows only
+    pos_b = jnp.where(valid_slot[..., None], pos_b, 1e30)
+
+    # static 27-neighborhood of every bucket
+    bidx3 = np.stack(
+        np.meshgrid(np.arange(gx), np.arange(gy), np.arange(gz), indexing="ij"),
+        axis=-1,
+    ).reshape(g, 3)
     offs = np.mgrid[-1:2, -1:2, -1:2].reshape(3, -1).T  # (27, 3)
-    offs = jnp.asarray(offs, dtype=jnp.int32)
-    nb3 = idx3[:, None, :] + offs[None, :, :]  # (A, 27, 3)
+    nb3 = bidx3[:, None, :] + offs[None, :, :]  # (G, 27, 3) numpy
+    gdims_np = np.array([gx, gy, gz])
     if periodic:
-        wrap = jnp.floor_divide(nb3, gdims)  # image shift in grid units (-1/0/1)
-        nb3w = nb3 - wrap * gdims
-        # virtual bucket (idx3 + off) holds the image of wrapped-bucket atoms
-        # displaced by `wrap` cells: image position = pos + wrap @ cell
-        shift_frac = wrap.astype(coords.dtype)
+        wrap_np = np.floor_divide(nb3, gdims_np)  # (G, 27, 3)
+        nb3w = nb3 - wrap_np * gdims_np
+        sec_ok = np.ones((g, 27), dtype=bool)
     else:
-        inb = jnp.all((nb3 >= 0) & (nb3 < gdims), axis=-1)  # (A, 27)
-        nb3w = jnp.clip(nb3, 0, gdims - 1)
-        shift_frac = None
-    nb_bucket = (nb3w[..., 0] * gy + nb3w[..., 1]) * gz + nb3w[..., 2]  # (A, 27)
+        sec_ok = np.all((nb3 >= 0) & (nb3 < gdims_np), axis=-1)  # (G, 27)
+        wrap_np = np.zeros_like(nb3)
+        nb3w = np.clip(nb3, 0, gdims_np - 1)
+    nb_bucket = (nb3w[..., 0] * gy + nb3w[..., 1]) * gz + nb3w[..., 2]  # (G, 27)
 
-    cand = jnp.take(table, nb_bucket, axis=0)  # (A, 27, B)
-    cand_valid = cand < a
-    if not periodic:
-        cand_valid = cand_valid & inb[..., None]
-    cand_idx = jnp.where(cand_valid, cand, 0)
-
+    cand_idx_b = table[jnp.asarray(nb_bucket.reshape(-1))].reshape(g, 27, b)
+    cand_valid_b = (cand_idx_b < a) & jnp.asarray(sec_ok)[..., None]
+    cand_pos_b = pos_b[jnp.asarray(nb_bucket.reshape(-1))].reshape(g, 27, b, 3)
     if periodic:
-        cand_shift = (shift_frac @ scell)[:, :, None, :]  # (A, 27, 1, 3)
-        cand_shift = jnp.broadcast_to(cand_shift, (a, 27, b, 3))
-        nbr_pos = jnp.take(spos, cand_idx, axis=0) + cand_shift
-    else:
-        cand_shift = None
-        nbr_pos = jnp.take(spos, cand_idx, axis=0)
-    d = nbr_pos - spos[:, None, None, :]  # (A, 27, B, 3)
-    dist = _safe_norm(d, cand_valid)
+        # image position = pos + wrap @ cell (one shift per (bucket, section))
+        shift_cart_b = (
+            jnp.asarray(wrap_np.reshape(-1, 3), dtype=coords.dtype) @ scell
+        ).reshape(g, 27, 1, 3)
+        cand_pos_b = cand_pos_b + shift_cart_b
+    # distances: every slot of bucket g vs its 27xB candidates
+    d = cand_pos_b[:, None, :, :, :] - pos_b[:, :, None, None, :]  # (G,Bc,27,B,3)
+    dist2 = jnp.sum(d * d, axis=-1)  # (G, Bc, 27, B)
+    self_idx = safe_table[:, :, None, None]
     if periodic:
-        not_self = ~(
-            (cand_idx == pos[:, None, None])
-            & jnp.all(shift_frac == 0, axis=-1)[..., None]
-        )
+        zero_shift = jnp.asarray(np.all(wrap_np == 0, axis=-1))[:, None, :, None]
+        not_self = ~((cand_idx_b[:, None] == self_idx) & zero_shift)
     else:
-        not_self = cand_idx != pos[:, None, None]
-    valid = cand_valid & not_self & (dist <= cutoff) & real[:, None, None]
+        not_self = cand_idx_b[:, None] != self_idx
+    valid = (
+        cand_valid_b[:, None]
+        & not_self
+        & (dist2 <= cutoff * cutoff)
+        & valid_slot[:, :, None, None]
+    )  # (G, Bc, 27, B)
 
     n = 27 * b
-    idx, mask, shift, overflow = _extract_rows(
-        valid.reshape(a, n),
-        cand_idx.reshape(a, n),
-        None if cand_shift is None else cand_shift.reshape(a, n, 3),
-        origin_coords,
-        capacity,
-    )
+    rows = g * b
+    valid_rows = valid.reshape(rows, n)
+    top, mask, overflow = _pack_positions(valid_rows, capacity)
+    # resolve candidate -> atom idx / image shift via small per-bucket tables
+    # (g-row batch gathers; never materialize (rows, n, 3))
+    g_of_row = jax.lax.broadcasted_iota(jnp.int32, (rows, capacity), 0) // b
+    idx = jnp.take(cand_idx_b.reshape(-1), g_of_row * n + top, axis=0)  # (rows, K)
+    if periodic:
+        shift_go = (
+            jnp.asarray(wrap_np.reshape(-1, 3), dtype=coords.dtype) @ scell
+        ).reshape(g * 27, 3)
+        shift = jnp.take(shift_go, g_of_row * 27 + top // b, axis=0)  # (rows, K, 3)
+    else:
+        shift = None
+    # map bucket-slot rows back to atom order
+    atom_row = bucket_id * b + slot  # (A,)
+    atom_row = jnp.where(real & (rank < b), atom_row, 0)
+    take_rows = lambda x: jnp.take(x, atom_row, axis=0)  # noqa: E731
+    idx = jnp.where(real[:, None], take_rows(idx), 0)
+    mask = take_rows(mask) & real[:, None]
+    shift = None if shift is None else take_rows(shift)
     nbrs = _finalize(origin_coords, idx, mask, shift, overflow | bucket_overflow)
     if squeeze:
         nbrs = jax.tree.map(lambda x: x[None] if x.ndim > 0 else x, nbrs)

@@ -151,7 +151,14 @@ class AtomicNetworks(struct.PyTreeNode):
         elem = elem_idxs.reshape(c * a)
         out = jnp.zeros((c * a, self.out_dim), dtype=aevs.dtype)
         num_layers = len(self.weights)
-        for s in range(self.num_species):
+        # If the species array is a trace-time constant (e.g. MD closes over
+        # a fixed system), skip element networks with no atoms — a pure-water
+        # box then runs 2 of 7 networks.  Traced species fall back to all.
+        species_range: tp.Iterable[int] = range(self.num_species)
+        if not isinstance(elem_idxs, jax.core.Tracer):
+            present = set(np.unique(np.asarray(elem_idxs)).tolist())
+            species_range = [s for s in range(self.num_species) if s in present]
+        for s in species_range:
             x = x0
             for li in range(num_layers):
                 w = self.weights[li][s]

@@ -5,6 +5,9 @@ from torchani_tpu.potentials.core import (
     DummyPotential,
     Potential,
 )
+from torchani_tpu.potentials.dispersion import TwoBodyDispersionD3
+from torchani_tpu.potentials.fixed_coulomb import FixedCoulomb, FixedMNOK
+from torchani_tpu.potentials.lj import DispersionLJ, LennardJones, RepulsionLJ
 from torchani_tpu.potentials.nnp import NNPotential
 from torchani_tpu.potentials.repulsion import RepulsionXTB, RepulsionZBL
 
@@ -15,4 +18,10 @@ __all__ = [
     "NNPotential",
     "RepulsionXTB",
     "RepulsionZBL",
+    "TwoBodyDispersionD3",
+    "FixedCoulomb",
+    "FixedMNOK",
+    "LennardJones",
+    "RepulsionLJ",
+    "DispersionLJ",
 ]

@@ -1,0 +1,155 @@
+"""DFT-D3(BJ) two-body dispersion.
+
+Math ported from ``/root/reference/torchani/potentials/dftd3.py:37-311``
+(Grimme DFT-D3 with Becke-Johnson damping): per-atom coordination numbers,
+Gaussian-weighted interpolation of the 5x5 reference-C6 tables, C8 from
+empirical-charge products, s6/s8/a1/a2 per density functional.
+
+TPU formulation: coordination numbers are masked row sums over the padded
+neighbor table (no ``index_add_``); the 25-reference interpolation is a lane
+-broadcast ``(N, K, 25)`` computation.
+"""
+
+import math
+import typing as tp
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from torchani_tpu.annotations import Array
+from torchani_tpu.constants import (
+    ATOMIC_NUMBER,
+    COVALENT_RADIUS,
+    FUNCTIONAL_D3BJ_CONSTANTS,
+    SQRT_EMPIRICAL_CHARGE,
+    load_c6_constants,
+)
+from torchani_tpu.cutoffs import CutoffArg, CutoffDummy, parse_cutoff_fn
+from torchani_tpu.neighbors import Neighbors
+from torchani_tpu.potentials.core import BasePairPotential
+from torchani_tpu.potentials.repulsion import _elem_seq
+
+__all__ = ["TwoBodyDispersionD3"]
+
+
+class TwoBodyDispersionD3(BasePairPotential):
+    """Two-body part of the DFT-D3(BJ) dispersion correction."""
+
+    precalc_coeff6: Array = None  # (S, S, 25)
+    precalc_cn_a: Array = None  # (S, S, 25)
+    precalc_cn_b: Array = None  # (S, S, 25)
+    sqrt_charge_ab: Array = None  # (S, S)
+    damp_radii: Array = None  # (S, S) BJ cutoff radii (Bohr)
+    covalent_radii: Array = None  # (S,) Bohr
+    s6: float = struct.field(pytree_node=False, default=1.0)
+    s8: float = struct.field(pytree_node=False, default=1.0)
+    a1: float = struct.field(pytree_node=False, default=0.0)
+    a2: float = struct.field(pytree_node=False, default=0.0)
+
+    # Hardcoded Grimme constants
+    _K1: tp.ClassVar[int] = 16
+    _K2: tp.ClassVar[float] = 4 / 3
+    _K3: tp.ClassVar[int] = 4
+    _EPS: tp.ClassVar[float] = 1e-35
+
+    @classmethod
+    def make(
+        cls,
+        symbols: tp.Sequence[str],
+        s6: tp.Optional[float] = None,
+        s8: tp.Optional[float] = None,
+        damp_a1: tp.Optional[float] = None,
+        damp_a2: tp.Optional[float] = None,
+        functional: tp.Optional[str] = None,
+        sqrt_empirical_charge: tp.Sequence[float] = (),
+        covalent_radii: tp.Sequence[float] = (),
+        cutoff: float = math.inf,
+        cutoff_fn: CutoffArg = "smooth",
+    ) -> "TwoBodyDispersionD3":
+        symbols = tuple(symbols)
+        if functional is not None:
+            d = FUNCTIONAL_D3BJ_CONSTANTS[functional.lower()]
+            s6 = d["s6"] if s6 is None else s6
+            s8 = d["s8"] if s8 is None else s8
+            damp_a1 = d["a1"] if damp_a1 is None else damp_a1
+            damp_a2 = d["a2"] if damp_a2 is None else damp_a2
+        if None in (s6, s8, damp_a1, damp_a2):
+            raise ValueError("Provide either a functional name or s6/s8/a1/a2")
+
+        from torchani_tpu.units import ANGSTROM_TO_BOHR
+
+        sqrt_q = _elem_seq(
+            "sqrt_empirical_charge", symbols, sqrt_empirical_charge,
+            SQRT_EMPIRICAL_CHARGE,
+        )
+        rcov = _elem_seq(
+            "covalent_radii", symbols, covalent_radii, COVALENT_RADIUS
+        ) * ANGSTROM_TO_BOHR
+
+        c6 = load_c6_constants()
+        znums = np.asarray([ATOMIC_NUMBER[s] for s in symbols])
+        s = len(symbols)
+        sel = lambda t: np.asarray(t)[znums][:, znums].reshape(s, s, 25)  # noqa: E731
+        return cls(
+            symbols=symbols,
+            cutoff=cutoff,
+            cutoff_fn=(
+                parse_cutoff_fn(cutoff_fn) if not math.isinf(cutoff) else CutoffDummy()
+            ),
+            precalc_coeff6=jnp.asarray(sel(c6["constants"])),
+            precalc_cn_a=jnp.asarray(sel(c6["coordnums_a"])),
+            precalc_cn_b=jnp.asarray(sel(c6["coordnums_b"])),
+            sqrt_charge_ab=jnp.asarray(np.outer(sqrt_q, sqrt_q).astype(np.float32)),
+            damp_radii=jnp.asarray(
+                np.sqrt(3 * np.outer(sqrt_q, sqrt_q)).astype(np.float32)
+            ),
+            covalent_radii=jnp.asarray(rcov.astype(np.float32)),
+            s6=float(s6),
+            s8=float(s8),
+            a1=float(damp_a1),
+            a2=float(damp_a2),
+        )
+
+    # alias for reference-API parity
+    @classmethod
+    def from_functional(
+        cls, symbols: tp.Sequence[str], functional: str, **kwargs
+    ) -> "TwoBodyDispersionD3":
+        return cls.make(symbols, functional=functional, **kwargs)
+
+    def pair_energies(self, elem_flat: Array, neighbors: Neighbors) -> Array:
+        dists = self.clamp(neighbors.dist) * self.ANGSTROM_TO_BOHR  # (N, K)
+        ec, en = self.elem_pairs(elem_flat, neighbors)
+
+        # Coordination numbers: masked row sum (full table = both directions)
+        rcov_sum = self.covalent_radii[ec] + self.covalent_radii[en]
+        count_fn = 1.0 / (
+            1.0 + jnp.exp(-self._K1 * (self._K2 * rcov_sum / dists - 1.0))
+        )
+        count_fn = jnp.where(neighbors.mask, count_fn, 0.0)
+        coordnums = jnp.sum(count_fn, axis=-1)  # (N,)
+
+        cn_center = coordnums[:, None]  # (N, 1)
+        cn_nbr = jnp.where(
+            neighbors.mask, jnp.take(coordnums, neighbors.idx, axis=0), 0.0
+        )
+
+        # Gaussian-weighted C6 interpolation over 25 reference pairs
+        pre_c6 = self.precalc_coeff6[ec, en]  # (N, K, 25)
+        pre_cn_a = self.precalc_cn_a[ec, en]
+        pre_cn_b = self.precalc_cn_b[ec, en]
+        gauss = (cn_center[..., None] - pre_cn_a) ** 2 + (
+            cn_nbr[..., None] - pre_cn_b
+        ) ** 2
+        gauss = jnp.exp(-self._K3 * gauss)
+        gauss = jnp.where(pre_c6 <= 0.0, 0.0, gauss)
+        w_factor = jnp.sum(gauss, axis=-1) + self._EPS
+        z_factor = jnp.sum(pre_c6 * gauss, axis=-1) + self._EPS
+        c6_coeff = z_factor / w_factor  # (N, K)
+        c8_coeff = 3 * c6_coeff * self.sqrt_charge_ab[ec, en]
+
+        damp = self.a1 * self.damp_radii[ec, en] + self.a2
+        e6 = self.s6 * c6_coeff / (dists**6 + damp**6)
+        e8 = self.s8 * c8_coeff / (dists**8 + damp**8)
+        return -(e6 + e8)
