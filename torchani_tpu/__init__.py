@@ -18,7 +18,7 @@ from torchani_tpu import (
     utils,
 )
 from torchani_tpu.aev import AEVComputer
-from torchani_tpu.arch import ANI, Assembler, simple_ani
+from torchani_tpu.arch import ANI, ANIq, Assembler, simple_ani, simple_aniq
 from torchani_tpu.grad import single_point
 from torchani_tpu.nn import ANINetworks, AtomicNetworks, Ensemble, SpeciesConverter
 from torchani_tpu.sae import SelfEnergy
@@ -28,6 +28,7 @@ __version__ = "0.1.0"
 __all__ = [
     "AEVComputer",
     "ANI",
+    "ANIq",
     "ANINetworks",
     "Assembler",
     "AtomicNetworks",
@@ -35,6 +36,7 @@ __all__ = [
     "SelfEnergy",
     "SpeciesConverter",
     "simple_ani",
+    "simple_aniq",
     "single_point",
     "constants",
     "models",

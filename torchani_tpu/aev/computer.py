@@ -320,14 +320,28 @@ class AEVComputer(struct.PyTreeNode):
             # Two-sided decomposition of the species-pair one-hot:
             #   V[s1, s2, z] = sum_{j<k} T[j, k, z] oh[j, s1] oh[k, s2]
             #   aev[p{s1, s2}] = V[s1, s2] + V[s2, s1]  (s1 < s2; diag once)
-            # This replaces one (Z x Q x P) matmul per atom with a
-            # (j*z x k x S) + (z*S x j x S) pair — ~5x fewer FLOPs and no
-            # (blk, Ka, Ka, P) one-hot tensor.
+            # Contracted as explicit masked sums (NOT einsum): with S ~ 4-7
+            # and Z ~ 32 these are terrible MXU matmul shapes (~5% util) but
+            # trivial VPU reductions that XLA sibling-fuses into single
+            # passes over the (blk, Ka, Ka, Z) terms tensor.
             oh = jax.nn.one_hot(
                 jnp.where(mask, elem, -1), s, dtype=terms.dtype
             )  # (blk, Ka, S)
-            w = jnp.einsum("njkz,nkt->njzt", terms, oh, precision=_HIGHEST)
-            v = jnp.einsum("njzt,njs->nstz", w, oh, precision=_HIGHEST)
+            w = jnp.stack(
+                [
+                    jnp.sum(terms * oh[:, None, :, None, t], axis=2)
+                    for t in range(s)
+                ],
+                axis=-1,
+            )  # (blk, Ka_j, Z, S)
+            v = jnp.stack(
+                [
+                    jnp.sum(w * oh[:, :, None, None, t2], axis=1)
+                    for t2 in range(s)
+                ],
+                axis=1,
+            )  # (blk, S_j, Z, S_k) -> index as v[n, s1, z, s2]
+            v = jnp.swapaxes(v, 2, 3)  # (blk, S_j, S_k, Z)
             sym = v + jnp.swapaxes(v, 1, 2)  # (blk, S, S, Z)
             diag = v[:, jnp.arange(s), jnp.arange(s)]  # (blk, S, Z)
             packed = sym[:, iu1, iu2, :]  # (blk, P, Z) — off-diag correct

@@ -33,7 +33,7 @@ from torchani_tpu.potentials.nnp import NNPotential
 from torchani_tpu.sae import SelfEnergy
 from torchani_tpu.tuples import SpeciesEnergies, SpeciesEnergiesQBC
 
-__all__ = ["ANI", "Assembler", "simple_ani"]
+__all__ = ["ANI", "ANIq", "Assembler", "simple_ani", "simple_aniq"]
 
 
 class ANI(struct.PyTreeNode):
@@ -234,6 +234,174 @@ class ANI(struct.PyTreeNode):
         """Per-atom stdev over ensemble members."""
         atomic = self(species, coords, cell, pbc, atomic=True, ensemble_values=True)
         return jnp.std(atomic, axis=0, ddof=1)
+
+
+class ANIq(ANI):
+    """ANI-style model that also predicts (normalized) atomic charges.
+
+    Counterpart of reference ``ANIq`` (``arch.py:579-692``): the ``"nnp"``
+    potential is a `MergedChargesNNPotential` or
+    `SeparateChargesNNPotential`; `energies_and_charges` returns both.
+    """
+
+    def compute_with_charges(
+        self,
+        species: Array,
+        coords: Array,
+        cell: tp.Optional[Array] = None,
+        pbc: tp.Optional[Array] = None,
+        charge: int = 0,
+        atomic: bool = False,
+        ensemble_values: bool = False,
+    ):
+        from torchani_tpu.tuples import EnergiesScalars
+
+        if species.ndim != 2 or coords.shape != species.shape + (3,):
+            raise ValueError(
+                f"Expected species (molecules, atoms) and coords "
+                f"(molecules, atoms, 3); got {species.shape} and {coords.shape}"
+            )
+        elem_idxs = self._convert(species)
+        neighbors = self._neighborlist()(self.cutoff, elem_idxs, coords, cell, pbc)
+        energies = None
+        charges = None
+        for name, pot in sorted(self.potentials.items()):
+            if not pot.enabled:
+                continue
+            pot_neighbors = (
+                narrow_to_cutoff(neighbors, pot.cutoff)
+                if pot.cutoff < self.cutoff
+                else neighbors
+            )
+            e, qs = pot.compute_from_neighbors(
+                elem_idxs,
+                coords,
+                pot_neighbors,
+                charge=charge,
+                atomic=atomic,
+                ensemble_values=ensemble_values,
+            )
+            energies = e if energies is None else energies + e
+            if name == "nnp":
+                charges = qs
+        if self.energy_shifter.enabled:
+            energies = energies + self.energy_shifter(elem_idxs, atomic=atomic)
+        return EnergiesScalars(energies, charges)
+
+    def __call__(
+        self,
+        species: Array,
+        coords: Array,
+        cell: tp.Optional[Array] = None,
+        pbc: tp.Optional[Array] = None,
+        charge: int = 0,
+        atomic: bool = False,
+        ensemble_values: bool = False,
+    ) -> Array:
+        return self.compute_with_charges(
+            species, coords, cell, pbc, charge, atomic, ensemble_values
+        ).energies
+
+    def energies_and_charges(
+        self,
+        species: Array,
+        coords: Array,
+        cell: tp.Optional[Array] = None,
+        pbc: tp.Optional[Array] = None,
+        charge: int = 0,
+    ):
+        return self.compute_with_charges(species, coords, cell, pbc, charge)
+
+    def atomic_charges(
+        self,
+        species: Array,
+        coords: Array,
+        cell: tp.Optional[Array] = None,
+        pbc: tp.Optional[Array] = None,
+        charge: int = 0,
+    ) -> Array:
+        return self.compute_with_charges(species, coords, cell, pbc, charge).scalars
+
+
+def simple_aniq(
+    symbols: tp.Sequence[str],
+    lot: str = "wb97x-631gd",
+    ensemble_size: int = 1,
+    merge_charge_networks: bool = True,
+    repulsion: bool = True,
+    key: tp.Optional[jax.Array] = None,
+    **kwargs,
+) -> ANIq:
+    """One-call charge-model builder (reference ``simple_aniq`` analog)."""
+    from torchani_tpu.electro import ChargeNormalizer
+    from torchani_tpu.nn import AtomicNetworks
+    from torchani_tpu.potentials.nnp_charges import (
+        MergedChargesNNPotential,
+        SeparateChargesNNPotential,
+    )
+
+    base = simple_ani(
+        symbols, lot, ensemble_size, repulsion=repulsion, key=key, **kwargs
+    )
+    nnp = base.potentials["nnp"]
+    normalizer = ChargeNormalizer.from_electronegativity_and_hardness(
+        tuple(symbols)
+    )
+    if key is None:
+        key = jax.random.PRNGKey(7)
+    if merge_charge_networks:
+        # rebuild networks with a 2-wide output head
+        networks = AtomicNetworks.like_2x(
+            tuple(symbols),
+            in_dim=nnp.aev_computer.out_dim,
+            out_dim=2,
+            activation="gelu",
+            bias=False,
+            key=key,
+        )
+        if ensemble_size > 1:
+            members = []
+            for i in range(ensemble_size):
+                key, sub = jax.random.split(key)
+                members.append(
+                    AtomicNetworks.like_2x(
+                        tuple(symbols),
+                        in_dim=nnp.aev_computer.out_dim,
+                        out_dim=2,
+                        activation="gelu",
+                        bias=False,
+                        key=sub,
+                    )
+                )
+            networks = Ensemble.from_members(members)
+        new_nnp = MergedChargesNNPotential.make(
+            tuple(symbols), nnp.aev_computer, networks, normalizer
+        )
+    else:
+        charge_networks = AtomicNetworks.like_2x(
+            tuple(symbols),
+            in_dim=nnp.aev_computer.out_dim,
+            out_dim=1,
+            activation="gelu",
+            bias=False,
+            key=key,
+        )
+        new_nnp = SeparateChargesNNPotential.make(
+            tuple(symbols),
+            nnp.aev_computer,
+            nnp.neural_networks,
+            charge_networks,
+            normalizer,
+        )
+    pots = dict(base.potentials)
+    pots["nnp"] = new_nnp
+    return ANIq(
+        potentials=pots,
+        energy_shifter=base.energy_shifter,
+        symbols=base.symbols,
+        neighborlist=base.neighborlist,
+        periodic_table_index=base.periodic_table_index,
+    )
 
 
 class Assembler:

@@ -1,5 +1,6 @@
 """Atomic neural network containers."""
 
+from torchani_tpu.nn.shared import ANISharedNetworks, SingleNN
 from torchani_tpu.nn.containers import (
     ANINetworks,
     AtomicNetworks,
@@ -9,6 +10,8 @@ from torchani_tpu.nn.containers import (
 )
 
 __all__ = [
+    "ANISharedNetworks",
+    "SingleNN",
     "ANINetworks",
     "AtomicNetworks",
     "Ensemble",

