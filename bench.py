@@ -45,17 +45,19 @@ def main() -> None:
 
     @jax.jit
     def step(coords):
-        return energies_and_forces(model, species, coords, cell, pbc)
+        e, f = energies_and_forces(model, species, coords, cell, pbc)
+        # reduce to a scalar so the timing fetch transfers O(1) bytes but
+        # still forces completion of the whole step (block_until_ready on
+        # the tunneled device can return before execution finishes)
+        return jnp.sum(e) + jnp.sum(f)
 
     # warmup / compile
-    e, f = step(coords)
-    jax.block_until_ready(f)
+    _ = float(step(coords))
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        e, f = step(coords)
-    jax.block_until_ready(f)
+        _ = float(step(coords))
     dt = (time.perf_counter() - t0) / iters
 
     us_per_atom = dt * 1e6 / num_atoms

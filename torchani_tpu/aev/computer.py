@@ -160,6 +160,32 @@ class AEVComputer(struct.PyTreeNode):
         )
 
     @classmethod
+    def from_constants(
+        cls,
+        radial_cutoff: float,
+        angular_cutoff: float,
+        radial_eta: float,
+        radial_shifts: tp.Sequence[float],
+        angular_eta: float,
+        angular_zeta: float,
+        angular_shifts: tp.Sequence[float],
+        sections: tp.Sequence[float],
+        num_species: int,
+        cutoff_fn: CutoffArg = "cosine",
+        **kwargs,
+    ) -> "AEVComputer":
+        """Legacy constructor from raw constants (reference ``from_constants``)."""
+        return cls.make(
+            radial=ANIRadial.make(radial_eta, radial_shifts, radial_cutoff, cutoff_fn),
+            angular=ANIAngular.make(
+                angular_eta, angular_zeta, angular_shifts, sections,
+                angular_cutoff, cutoff_fn,
+            ),
+            num_species=num_species,
+            **kwargs,
+        )
+
+    @classmethod
     def like_1x(cls, num_species: int = 4, **kwargs) -> "AEVComputer":
         return cls.make(
             ANIRadial.like_1x(), ANIAngular.like_1x(), num_species, **kwargs
@@ -257,113 +283,227 @@ class AEVComputer(struct.PyTreeNode):
         p = self.num_species_pairs
 
         # --- radial ---
-        rmask = radial_nbrs.mask
-        rterms = self.radial(radial_nbrs.dist) * rmask[..., None]  # (N, K, R)
-        nbr_elem = jnp.take(elem_flat, radial_nbrs.idx, axis=0)  # (N, K)
-        onehot = jax.nn.one_hot(
-            jnp.where(rmask, nbr_elem, -1), s, dtype=rterms.dtype
-        )  # (N, K, S); -1 rows are all-zero
-        radial_aev = jnp.einsum(
-            "nkr,nks->nsr", rterms, onehot, precision=_HIGHEST
-        ).reshape(n, self.radial_len)
+        with jax.named_scope("aev:radial"):
+            rmask = radial_nbrs.mask
+            rterms = self.radial(radial_nbrs.dist) * rmask[..., None]  # (N, K, R)
+            nbr_elem = jnp.take(elem_flat, radial_nbrs.idx, axis=0)  # (N, K)
+            onehot = jax.nn.one_hot(
+                jnp.where(rmask, nbr_elem, -1), s, dtype=rterms.dtype
+            )  # (N, K, S); -1 rows are all-zero
+            radial_aev = jnp.einsum(
+                "nkr,nks->nsr", rterms, onehot, precision=_HIGHEST
+            ).reshape(n, self.radial_len)
 
-        # --- angular (tiled over atom blocks to bound the (blk, Ka, Ka, Z)
-        # intermediate; the Pallas strategy replaces this with a fused kernel)
-        blk = min(self.atom_block, n)
-        n_pad = _ceil_to(n, blk)
-        pad = n_pad - n
-
-        def pad0(x):
-            cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-            return jnp.pad(x, cfg)
-
-        amask = pad0(angular_nbrs.mask)
-        adist = pad0(jnp.where(angular_nbrs.mask, angular_nbrs.dist, 1.0))
-        adiff = pad0(angular_nbrs.diff)
-        aelem = pad0(
-            jnp.where(
-                angular_nbrs.mask,
-                jnp.take(elem_flat, angular_nbrs.idx, axis=0),
-                0,
-            )
+        # --- angular ---
+        amask = angular_nbrs.mask
+        adist = jnp.where(amask, angular_nbrs.dist, 1.0)
+        adiff = angular_nbrs.diff
+        aelem = jnp.where(
+            amask, jnp.take(elem_flat, angular_nbrs.idx, axis=0), 0
         )
-        ka = amask.shape[-1]
-        nblk = n_pad // blk
-        reshape_blk = lambda x: x.reshape((nblk, blk) + x.shape[1:])  # noqa: E731
+        aoh = jax.nn.one_hot(
+            jnp.where(amask, aelem, -1), s, dtype=radial_aev.dtype
+        )  # (N, Ka, S), zero rows for masked lanes
 
-        triu = jnp.asarray(_triu_index(s))
-
-        # Species-pair packing map: p(s1, s2) with s1 <= s2 (upper-tri order)
-        iu1, iu2 = np.triu_indices(s)
-
-        def angular_block(args):
-            mask, dist, diff, elem = args  # (blk, Ka[,3])
-            pair_mask = (
-                mask[:, :, None]
-                & mask[:, None, :]
-                & (
-                    jax.lax.broadcasted_iota(jnp.int32, (ka, ka), 0)
-                    < jax.lax.broadcasted_iota(jnp.int32, (ka, ka), 1)
-                )[None]
-            )  # (blk, Ka, Ka), j < k strictly
-            dprod = jnp.clip(dist[:, :, None] * dist[:, None, :], min=1e-10)
-            cosang = (
-                jnp.einsum("njx,nkx->njk", diff, diff, precision=_HIGHEST) / dprod
+        if self._use_pallas():
+            angular_aev = _angular_pallas_op(
+                self._pallas_config(),
+                adist,
+                adiff,
+                amask.astype(adist.dtype),
+                aoh,
             )
-            terms = self.angular(
-                dist[:, :, None] * jnp.ones((1, 1, ka), dist.dtype),
-                dist[:, None, :] * jnp.ones((1, ka, 1), dist.dtype),
-                cosang,
-            )  # (blk, Ka, Ka, Z)
-            terms = terms * pair_mask[..., None]
-            z = self.angular.num_feats
-            # Two-sided decomposition of the species-pair one-hot:
-            #   V[s1, s2, z] = sum_{j<k} T[j, k, z] oh[j, s1] oh[k, s2]
-            #   aev[p{s1, s2}] = V[s1, s2] + V[s2, s1]  (s1 < s2; diag once)
-            # Contracted as explicit masked sums (NOT einsum): with S ~ 4-7
-            # and Z ~ 32 these are terrible MXU matmul shapes (~5% util) but
-            # trivial VPU reductions that XLA sibling-fuses into single
-            # passes over the (blk, Ka, Ka, Z) terms tensor.
-            oh = jax.nn.one_hot(
-                jnp.where(mask, elem, -1), s, dtype=terms.dtype
-            )  # (blk, Ka, S)
-            w = jnp.stack(
-                [
-                    jnp.sum(terms * oh[:, None, :, None, t], axis=2)
-                    for t in range(s)
-                ],
-                axis=-1,
-            )  # (blk, Ka_j, Z, S)
-            v = jnp.stack(
-                [
-                    jnp.sum(w * oh[:, :, None, None, t2], axis=1)
-                    for t2 in range(s)
-                ],
-                axis=1,
-            )  # (blk, S_j, Z, S_k) -> index as v[n, s1, z, s2]
-            v = jnp.swapaxes(v, 2, 3)  # (blk, S_j, S_k, Z)
-            sym = v + jnp.swapaxes(v, 1, 2)  # (blk, S, S, Z)
-            diag = v[:, jnp.arange(s), jnp.arange(s)]  # (blk, S, Z)
-            packed = sym[:, iu1, iu2, :]  # (blk, P, Z) — off-diag correct
-            packed = packed.at[:, _diag_pair_pos(s), :].set(diag)
-            return packed.reshape(blk, self.angular_len)
-
-        if nblk == 1:
-            angular_aev = angular_block((amask, adist, adiff, aelem))
         else:
-            # remat: under reverse-mode AD, scan would otherwise stash every
-            # block's (blk, Ka, Ka, Z) intermediates for the backward pass —
-            # O(A * Ka^2 * Z) HBM.  Recomputing the block forward during
-            # backward keeps memory at one block (the jax.checkpoint analog
-            # of cuAEV's kernel-local recomputation).
-            angular_aev = jax.lax.map(
-                jax.checkpoint(angular_block),
-                (
-                    reshape_blk(amask),
-                    reshape_blk(adist),
-                    reshape_blk(adiff),
-                    reshape_blk(aelem),
-                ),
-            ).reshape(n_pad, self.angular_len)
-        angular_aev = angular_aev[:n]
+            angular_aev = _angular_xla(
+                self.angular, s, self.atom_block, adist, adiff,
+                amask.astype(adist.dtype), aoh,
+            )
         return jnp.concatenate([radial_aev, angular_aev], axis=-1)
+
+    def _use_pallas(self) -> bool:
+        if self.strategy == "xla":
+            return False
+        supported = (
+            type(self.angular) is ANIAngular
+            and type(self.angular.cutoff_fn).__name__
+            in ("CutoffCosine", "CutoffSmooth")
+        )
+        if self.strategy == "pallas":
+            if not supported:
+                raise ValueError(
+                    "pallas strategy supports ANIAngular with cosine/smooth "
+                    "cutoffs only"
+                )
+            return True
+        # auto: pallas on TPU-like backends when supported
+        return supported and jax.default_backend() not in ("cpu",)
+
+    def _pallas_config(self) -> tp.Tuple:
+        cutoff_kind = (
+            "cosine"
+            if type(self.angular.cutoff_fn).__name__ == "CutoffCosine"
+            else "smooth"
+        )
+        return (
+            float(np.asarray(self.angular.eta)[0]),
+            float(np.asarray(self.angular.zeta)[0]),
+            tuple(np.asarray(self.angular.shifts).tolist()),
+            tuple(np.asarray(self.angular.sections).tolist()),
+            float(self.angular.cutoff),
+            cutoff_kind,
+            self.num_species,
+            self.atom_block,
+        )
+
+
+def _angular_rows(
+    angular: BaseAngular,
+    num_species: int,
+    dist: Array,  # (M, Ka), masked lanes 1.0
+    diff: Array,  # (M, Ka, 3)
+    maskf: Array,  # (M, Ka) float 0/1
+    oh: Array,  # (M, Ka, S), zero rows in masked lanes
+) -> Array:
+    """Angular AEV rows, pure XLA (the reference 'pyaev' analog and the
+    recompute path for the Pallas custom_vjp backward)."""
+    m, ka = dist.shape
+    s = num_species
+    iu1, iu2 = np.triu_indices(s)
+    mask = maskf > 0.5
+    pair_mask = (
+        mask[:, :, None]
+        & mask[:, None, :]
+        & (
+            jax.lax.broadcasted_iota(jnp.int32, (ka, ka), 0)
+            < jax.lax.broadcasted_iota(jnp.int32, (ka, ka), 1)
+        )[None]
+    )  # (M, Ka, Ka), j < k strictly
+    dprod = jnp.clip(dist[:, :, None] * dist[:, None, :], min=1e-10)
+    # explicit 3-term dot: a K=3 batched matmul is a terrible MXU shape;
+    # as broadcasts it fuses on the VPU
+    dots = (
+        diff[:, :, None, 0] * diff[:, None, :, 0]
+        + diff[:, :, None, 1] * diff[:, None, :, 1]
+        + diff[:, :, None, 2] * diff[:, None, :, 2]
+    )
+    cosang = dots / dprod
+    terms = angular(
+        dist[:, :, None] * jnp.ones((1, 1, ka), dist.dtype),
+        dist[:, None, :] * jnp.ones((1, ka, 1), dist.dtype),
+        cosang,
+    )  # (M, Ka, Ka, Z)
+    terms = terms * pair_mask[..., None]
+    # Two-sided decomposition of the species-pair one-hot:
+    #   V[s1, s2, z] = sum_{j<k} T[j, k, z] oh[j, s1] oh[k, s2]
+    #   aev[p{s1, s2}] = V[s1, s2] + V[s2, s1]  (s1 < s2; diag once)
+    # Contracted as explicit masked sums (NOT einsum): with S ~ 4-7 and
+    # Z ~ 32 these are terrible MXU matmul shapes but trivial VPU
+    # reductions that XLA sibling-fuses into single passes over terms.
+    w = jnp.stack(
+        [jnp.sum(terms * oh[:, None, :, None, t], axis=2) for t in range(s)],
+        axis=-1,
+    )  # (M, Ka_j, Z, S)
+    v = jnp.stack(
+        [jnp.sum(w * oh[:, :, None, None, t2], axis=1) for t2 in range(s)],
+        axis=1,
+    )  # (M, S_j, Z, S_k)
+    v = jnp.swapaxes(v, 2, 3)  # (M, S_j, S_k, Z)
+    sym = v + jnp.swapaxes(v, 1, 2)
+    diag = v[:, jnp.arange(s), jnp.arange(s)]
+    packed = sym[:, iu1, iu2, :]
+    packed = packed.at[:, _diag_pair_pos(s), :].set(diag)
+    z = packed.shape[-1]
+    return packed.reshape(m, len(iu1) * z)
+
+
+def _angular_xla(
+    angular: BaseAngular,
+    num_species: int,
+    atom_block: int,
+    dist: Array,
+    diff: Array,
+    maskf: Array,
+    oh: Array,
+) -> Array:
+    """Atom-block-tiled XLA angular path with rematerialization."""
+    n = dist.shape[0]
+    blk = min(atom_block, n)
+    n_pad = _ceil_to(n, blk)
+    pad = n_pad - n
+
+    def pad0(x, fill=0.0):
+        cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    args = (pad0(dist, 1.0), pad0(diff), pad0(maskf), pad0(oh))
+    nblk = n_pad // blk
+    if nblk == 1:
+        with jax.named_scope("aev:angular"):
+            out = _angular_rows(angular, num_species, *args)
+    else:
+        # remat: under reverse-mode AD, scan would otherwise stash every
+        # block's (blk, Ka, Ka, Z) intermediates for the backward pass —
+        # O(A * Ka^2 * Z) HBM.  Recomputing the block forward during
+        # backward keeps memory at one block (the jax.checkpoint analog of
+        # cuAEV's kernel-local recomputation).
+        reshape_blk = lambda x: x.reshape((nblk, blk) + x.shape[1:])  # noqa: E731
+        out = jax.lax.map(
+            jax.checkpoint(
+                lambda a: _angular_rows(angular, num_species, *a)
+            ),
+            tuple(reshape_blk(x) for x in args),
+        ).reshape(n_pad, -1)
+    return out[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _angular_pallas_op(config, dist, diff, maskf, oh):
+    """Fused Pallas angular forward with an XLA-recompute backward.
+
+    ``config`` is the hashable parameter tuple from
+    `AEVComputer._pallas_config`; the backward re-derives gradients through
+    the pure-XLA row function (so grad-of-grad for force training works
+    without a hand-written double-backward kernel).
+    """
+    from torchani_tpu.aev.pallas_kernels import angular_aev_pallas
+
+    eta, zeta, shifts, sections, cutoff, kind, s, tile = config
+    return angular_aev_pallas(
+        dist,
+        diff,
+        maskf > 0.5,
+        oh,
+        eta=eta,
+        zeta=zeta,
+        shifts=shifts,
+        sections=sections,
+        cutoff=cutoff,
+        cutoff_kind=kind,
+        num_species=s,
+        tile=min(tile, 128),
+    )
+
+
+def _angular_pallas_fwd(config, dist, diff, maskf, oh):
+    return _angular_pallas_op(config, dist, diff, maskf, oh), (
+        dist,
+        diff,
+        maskf,
+        oh,
+    )
+
+
+def _angular_pallas_bwd(config, residuals, g):
+    dist, diff, maskf, oh = residuals
+    eta, zeta, shifts, sections, cutoff, kind, s, tile = config
+    angular = ANIAngular.make(eta, zeta, shifts, sections, cutoff, kind)
+
+    def f(d, df):
+        return _angular_xla(angular, s, tile, d, df, maskf, oh)
+
+    _, vjp = jax.vjp(f, dist, diff)
+    dd, ddf = vjp(g)
+    return dd, ddf, jnp.zeros_like(maskf), jnp.zeros_like(oh)
+
+
+_angular_pallas_op.defvjp(_angular_pallas_fwd, _angular_pallas_bwd)

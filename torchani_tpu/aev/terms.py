@@ -151,10 +151,19 @@ class ANIAngular(BaseAngular):
         return jnp.exp(-self.eta * (mean[..., None] - self.shifts) ** 2)
 
     def compute_cos_angles(self, cos_angles: Array) -> Array:
-        # 0.95 prevents NaN from acos outside [-1, 1] (reference _terms.py:339)
-        angles = jnp.arccos(0.95 * cos_angles)
-        dev = angles[..., None] - self.sections
-        return 2 * ((1 + jnp.cos(dev)) / 2) ** self.zeta
+        # Mathematically identical to the reference's
+        # ``2 * ((1 + cos(acos(0.95 c) - theta_s)) / 2) ** zeta``
+        # via the angle-difference identity — replaces an acos plus one cos
+        # per section with a single sqrt (transcendental-count win on the
+        # VPU).  The 0.95 clamp factor is the reference's NaN guard
+        # (_terms.py:339).
+        c = 0.95 * cos_angles
+        sin_theta = jnp.sqrt(1.0 - c * c)
+        cos_dev = (
+            c[..., None] * jnp.cos(self.sections)
+            + sin_theta[..., None] * jnp.sin(self.sections)
+        )
+        return 2 * ((1 + cos_dev) / 2) ** self.zeta
 
     @classmethod
     def make(

@@ -106,6 +106,33 @@ def cmd_md(args) -> None:
         )
 
 
+def cmd_opt(args) -> None:
+    """Geometry optimization (FIRE) from an xyz file."""
+    import jax.numpy as jnp
+
+    from torchani_tpu.io import read_xyz, write_xyz
+    from torchani_tpu.optimize import minimize_fire
+
+    model = _build_model(args.model, args.ensemble_member)
+    species, coords, cell, pbc = read_xyz(args.xyz)
+    sp = jnp.asarray(species[:1])
+    cellj = None if cell is None else jnp.asarray(cell)
+    pbcj = None if (pbc is None or not pbc.any()) else jnp.asarray(pbc)
+
+    def energy_fn(c):
+        return jnp.sum(model(sp, c[None], cellj, pbcj))
+
+    state = minimize_fire(
+        energy_fn, jnp.asarray(coords[0]), max_steps=args.steps, fmax=args.fmax
+    )
+    print(
+        f"converged={bool(state.fmax <= args.fmax)} steps={int(state.step)} "
+        f"E={float(state.energy):.8f} Ha fmax={float(state.fmax):.6f}"
+    )
+    if args.output:
+        write_xyz(species[:1], np.asarray(state.coords)[None], args.output, cell=cell)
+
+
 def cmd_data_ls(args) -> None:
     from torchani_tpu.datasets import ANIDataset
 
@@ -175,6 +202,15 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-o", "--output", default=None)
     p.set_defaults(fn=cmd_md)
+
+    p = sub.add_parser("opt", help="geometry optimization (FIRE)")
+    p.add_argument("xyz")
+    p.add_argument("-m", "--model", default="ani2x")
+    p.add_argument("--ensemble-member", type=int, default=None)
+    p.add_argument("-n", "--steps", type=int, default=500)
+    p.add_argument("--fmax", type=float, default=0.02)
+    p.add_argument("-o", "--output", default=None)
+    p.set_defaults(fn=cmd_opt)
 
     data = sub.add_parser("data", help="dataset management")
     dsub = data.add_subparsers(dest="data_command", required=True)

@@ -15,6 +15,11 @@ from torchani_tpu.datasets.batching import (
     batch_all_in_ram,
     create_batched_dataset,
 )
+from torchani_tpu.datasets.builtin import (
+    TestData,
+    available_datasets,
+    builtin_dataset,
+)
 from torchani_tpu.datasets.filters import (
     filter_by_high_energy_error,
     filter_by_high_force,
@@ -34,4 +39,7 @@ __all__ = [
     "create_store",
     "filter_by_high_energy_error",
     "filter_by_high_force",
+    "TestData",
+    "available_datasets",
+    "builtin_dataset",
 ]

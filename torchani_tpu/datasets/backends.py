@@ -15,7 +15,7 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["Store", "HDF5Store", "ParquetStore", "InMemoryStore", "create_store"]
+__all__ = ["Store", "HDF5Store", "ParquetStore", "ZarrStore", "InMemoryStore", "create_store"]
 
 Conformers = tp.Dict[str, np.ndarray]
 
@@ -236,6 +236,22 @@ class ParquetStore(Store):
         self._meta_path.write_text(json.dumps(data))
 
 
+class ZarrStore(Store):
+    """Zarr-backed store (requires the optional ``zarr`` package)."""
+
+    def __init__(self, path, mode: str = "a") -> None:
+        try:
+            import zarr  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "The 'zarr' package is not installed in this environment; "
+                "use the HDF5 or Parquet backends instead"
+            ) from e
+        raise NotImplementedError(
+            "Zarr backend scaffolding present but zarr is unavailable here"
+        )
+
+
 def create_store(location, backend: tp.Optional[str] = None, mode: str = "a") -> Store:
     """Open/create a store; backend inferred from the location suffix."""
     if backend is None:
@@ -255,4 +271,6 @@ def create_store(location, backend: tp.Optional[str] = None, mode: str = "a") ->
         return HDF5Store(location, mode)
     if backend == "parquet":
         return ParquetStore(location, mode)
+    if backend == "zarr":
+        return ZarrStore(location, mode)
     raise ValueError(f"Unsupported backend: {backend}")

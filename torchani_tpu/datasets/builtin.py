@@ -1,0 +1,138 @@
+"""Built-in dataset registry and factories.
+
+Counterpart of the reference's generated dataset factories
+(``/root/reference/torchani/datasets/builtin.py:28-399``): named datasets
+(ANI-1x, ANI-2x, COMP6, ...) keyed by level of theory, downloaded to
+`torchani_tpu.paths.datasets_dir` and integrity-checked.  This build has no
+network egress: factories resolve against already-downloaded local copies
+and raise informative errors otherwise.  ``TestData`` builds a small
+deterministic synthetic dataset locally (the reference's TestData analog).
+"""
+
+import hashlib
+import typing as tp
+from pathlib import Path
+
+import numpy as np
+
+from torchani_tpu.datasets.anidataset import ANIDataset
+from torchani_tpu.paths import datasets_dir
+
+__all__ = [
+    "DATASET_REGISTRY",
+    "available_datasets",
+    "builtin_dataset",
+    "TestData",
+    "ANI1x",
+    "ANI2x",
+    "COMP6v1",
+    "DatasetIntegrityError",
+]
+
+
+class DatasetIntegrityError(RuntimeError):
+    pass
+
+
+#: name -> {lot: filename}; mirrors the reference's builtin_datasets.json ids
+DATASET_REGISTRY: tp.Dict[str, tp.Dict[str, str]] = {
+    "ANI1x": {
+        "wb97x-631gd": "ani1x-wb97x-631gd.h5",
+        "ccsd(t)star-cbs": "ani1ccx-ccsdtstar-cbs.h5",
+    },
+    "ANI2x": {
+        "wb97x-631gd": "ani2x-wb97x-631gd.h5",
+    },
+    "COMP6v1": {
+        "wb97x-631gd": "comp6v1-wb97x-631gd.h5",
+    },
+    "COMP6v2": {
+        "wb97x-631gd": "comp6v2-wb97x-631gd.h5",
+    },
+    "AminoacidDimers": {
+        "b973c-def2mtzvp": "aminoacid-dimers-b973c.h5",
+    },
+}
+
+
+def available_datasets() -> tp.List[str]:
+    return sorted(DATASET_REGISTRY)
+
+
+def _verify_md5(path: Path, md5: tp.Optional[str]) -> None:
+    if md5 is None:
+        return
+    digest = hashlib.md5(path.read_bytes()).hexdigest()
+    if digest != md5:
+        raise DatasetIntegrityError(
+            f"{path} is corrupted (md5 {digest} != expected {md5}); "
+            "re-download it or run integrity repair"
+        )
+
+
+def builtin_dataset(
+    name: str,
+    lot: str = "wb97x-631gd",
+    root: tp.Optional[Path] = None,
+    md5: tp.Optional[str] = None,
+) -> ANIDataset:
+    """Open a built-in dataset from the local dataset directory.
+
+    This environment has no network access, so the file must already exist
+    under ``root`` (default `torchani_tpu.paths.datasets_dir`).
+    """
+    if name not in DATASET_REGISTRY:
+        raise ValueError(
+            f"Unknown dataset {name!r}; available: {available_datasets()}"
+        )
+    lots = DATASET_REGISTRY[name]
+    if lot not in lots:
+        raise ValueError(f"{name} has no level of theory {lot!r}; has {sorted(lots)}")
+    root = Path(root) if root is not None else datasets_dir()
+    path = root / lots[lot]
+    if not path.exists():
+        raise FileNotFoundError(
+            f"Dataset file {path} not found and this build cannot download "
+            f"(no network egress). Place the file there manually."
+        )
+    _verify_md5(path, md5)
+    return ANIDataset(path)
+
+
+def ANI1x(lot: str = "wb97x-631gd", **kwargs) -> ANIDataset:
+    return builtin_dataset("ANI1x", lot, **kwargs)
+
+
+def ANI2x(lot: str = "wb97x-631gd", **kwargs) -> ANIDataset:
+    return builtin_dataset("ANI2x", lot, **kwargs)
+
+
+def COMP6v1(lot: str = "wb97x-631gd", **kwargs) -> ANIDataset:
+    return builtin_dataset("COMP6v1", lot, **kwargs)
+
+
+def TestData(
+    root: tp.Optional[Path] = None,
+    num_conformers: int = 64,
+    seed: int = 1234,
+) -> ANIDataset:
+    """Small deterministic synthetic dataset (HCNO), created locally."""
+    root = Path(root) if root is not None else datasets_dir()
+    path = root / f"test-data-{num_conformers}-{seed}.h5"
+    if path.exists():
+        return ANIDataset(path)
+    rng = np.random.RandomState(seed)
+    ds = ANIDataset(path)
+    for gi, max_atoms in enumerate((6, 9, 12)):
+        n = num_conformers // 3 + (gi == 0) * (num_conformers % 3)
+        species = rng.choice([1, 6, 7, 8], size=(n, max_atoms))
+        ds.append_conformers(
+            f"group{gi}",
+            {
+                "species": species,
+                "coordinates": (rng.rand(n, max_atoms, 3) * 4).astype(np.float32),
+                "energies": (rng.randn(n) - 40).astype(np.float64),
+                "forces": rng.randn(n, max_atoms, 3).astype(np.float32) * 0.01,
+            },
+        )
+    return ds

@@ -22,6 +22,10 @@ __all__ = [
     "energies_and_forces",
     "forces_for_training",
     "hessians",
+    "members_energies_and_forces",
+    "force_qbc",
+    "stress_scaling",
+    "stress_fdotr",
     "vibrational_analysis",
     "single_point",
 ]
@@ -143,6 +147,38 @@ def vibrational_analysis(
         raise ValueError(f"Unsupported mode type {mode_type}")
     modes = modes.reshape(c, 3 * a, a, 3)
     return VibAnalysis(wavenumbers, modes, fconstants, rmasses)
+
+
+def members_energies_and_forces(
+    model,
+    species: Array,
+    coords: Array,
+    cell: tp.Optional[Array] = None,
+    pbc: tp.Optional[Array] = None,
+) -> tp.Tuple[Array, Array]:
+    """Per-ensemble-member energies (E, C) and forces (E, C, A, 3).
+
+    Reference ``members_forces`` analog: forces of each member are the
+    gradients of that member's energy.
+    """
+    def member_sum(c):
+        return jnp.sum(model(species, c, cell, pbc, ensemble_values=True), axis=(1,))
+
+    energies = model(species, coords, cell, pbc, ensemble_values=True)
+    jac = jax.jacrev(lambda c: member_sum(c))(coords)  # (E, C, A, 3)
+    return energies, -jac
+
+
+def force_qbc(
+    model,
+    species: Array,
+    coords: Array,
+    cell: tp.Optional[Array] = None,
+    pbc: tp.Optional[Array] = None,
+) -> Array:
+    """Per-atom force disagreement across ensemble members (E-std of |F|)."""
+    _, forces = members_energies_and_forces(model, species, coords, cell, pbc)
+    return jnp.std(jnp.linalg.norm(forces, axis=-1), axis=0, ddof=1)
 
 
 def stress_scaling(

@@ -45,10 +45,14 @@ __all__ = [
     "pbc_shift_set",
     "compute_bounding_cell",
     "narrow_to_cutoff",
+    "reconstruct_shifts",
+    "neighbors_to_triples",
+    "Triples",
     "estimate_capacity",
     "parse_neighborlist",
     "AllPairs",
     "CellList",
+    "VerletCellList",
     "AdaptiveList",
 ]
 
@@ -442,6 +446,12 @@ def cell_list(
         )
 
     if grid_shape is None:
+        if isinstance(used_cell, jax.core.Tracer):
+            raise ValueError(
+                "cell_list needs a static bucket-grid shape: under jit, pass "
+                "grid_shape=... explicitly (or keep the cell a concrete "
+                "closure constant)"
+            )
         grid_shape = _static_grid_shape(
             np.asarray(jax.device_get(used_cell)), cutoff
         )
@@ -638,6 +648,77 @@ class AdaptiveList:
         )
 
 
+def reconstruct_shifts(coords: Array, neighbors: Neighbors) -> Array:
+    """Recover the cartesian image shifts used to build a neighbor table.
+
+    ``shift = diff - (x_nbr - x_center)`` (reference ``neighbors.py:1006``).
+    """
+    flat = coords.reshape(-1, 3)
+    nbr_pos = jnp.take(flat, jnp.where(neighbors.mask, neighbors.idx, 0), axis=0)
+    center = flat[: neighbors.idx.shape[-2]] if neighbors.idx.ndim == 2 else None
+    if neighbors.idx.ndim == 3:  # batched (C, A, K)
+        c, a, k = neighbors.idx.shape
+        center_pos = coords.reshape(c, a, 3)[:, :, None, :]
+        nbr_pos = jnp.take(flat, jnp.where(neighbors.mask, neighbors.idx, 0), axis=0)
+        shift = neighbors.diff - (nbr_pos - center_pos)
+    else:
+        shift = neighbors.diff - (nbr_pos - flat[:, None, :])
+    return jnp.where(neighbors.mask[..., None], shift, 0.0)
+
+
+class Triples(tp.NamedTuple):
+    """Padded per-center triples view of a neighbor table.
+
+    TPU analog of the reference ``Triples`` (``neighbors.py:21-28``): instead
+    of a compacted list, each center atom's neighbor-pair grid ``(Ka, Ka)``
+    (strict upper triangle) is exposed with a validity mask.  Mostly useful
+    for user code; the AEV computer enumerates pairs internally.
+    """
+
+    side_dist: Array  # (..., A, Ka, Ka, 2) distances (d_j, d_k)
+    side_diff: Array  # (..., A, Ka, Ka, 2, 3) center->side vectors
+    side_idx: Array  # (..., A, Ka, Ka, 2) atom indices of the two sides
+    mask: Array  # (..., A, Ka, Ka) valid (j < k) pairs
+
+
+def neighbors_to_triples(neighbors: Neighbors) -> Triples:
+    """Expand a neighbor table into padded per-center triples."""
+    dist = jnp.where(neighbors.mask, neighbors.dist, 1.0)
+    ka = neighbors.capacity
+    jj = jax.lax.broadcasted_iota(jnp.int32, (ka, ka), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (ka, ka), 1)
+    upper = jj < kk
+    mask = neighbors.mask[..., :, None] & neighbors.mask[..., None, :] & upper
+    side_dist = jnp.stack(
+        jnp.broadcast_arrays(dist[..., :, None], dist[..., None, :]), axis=-1
+    )
+    side_diff = jnp.stack(
+        jnp.broadcast_arrays(
+            neighbors.diff[..., :, None, :], neighbors.diff[..., None, :, :]
+        ),
+        axis=-2,
+    )
+    side_idx = jnp.stack(
+        jnp.broadcast_arrays(
+            neighbors.idx[..., :, None], neighbors.idx[..., None, :]
+        ),
+        axis=-1,
+    )
+    return Triples(side_dist, side_diff, side_idx, mask)
+
+
+@struct.dataclass
+class VerletCellList(CellList):
+    """API-parity alias for the reference's skin-cached cell list.
+
+    The actual skin cache lives as MD-loop state (the rebuild decision is a
+    ``lax.cond`` inside the jitted step — see `torchani_tpu.md`); called
+    standalone this behaves as a plain `CellList`.
+    """
+
+    skin: float = struct.field(pytree_node=False, default=1.0)
+
+
 NeighborlistArg = tp.Union[str, AllPairs, CellList, AdaptiveList]
 
 
@@ -647,6 +728,8 @@ def parse_neighborlist(neighborlist: NeighborlistArg):
         return AllPairs()
     if neighborlist == "cell_list":
         return CellList()
+    if neighborlist == "verlet_cell_list":
+        return VerletCellList()
     if neighborlist == "adaptive":
         return AdaptiveList()
     if isinstance(neighborlist, (AllPairs, CellList, AdaptiveList)):
