@@ -263,12 +263,17 @@ class AEVComputer(struct.PyTreeNode):
         # reference does at _computer.py:283-285).  Small tables (molecule
         # batches) are kept at full capacity — shrinking risks overflow on
         # dense clusters and saves little.
-        if radial_capacity <= 48:
+        if radial_capacity <= 40:
             return radial_capacity
+        # density-based estimate at the angular cutoff (liquid-water-ish
+        # density + safety, like the radial default capacity heuristic);
+        # overflow is detected by the repack and surfaces via the flag
+        import math as _math
+
         est = int(
-            radial_capacity * (self.angular.cutoff / self.radial.cutoff) ** 3 * 1.5
+            _math.ceil(4.0 / 3.0 * _math.pi * self.angular.cutoff**3 * 0.12 * 1.5)
         )
-        est = max(32, _ceil_to(est, 8))
+        est = max(24, _ceil_to(est, 8))
         return min(est, radial_capacity)
 
     # ---- core ----
@@ -335,8 +340,10 @@ class AEVComputer(struct.PyTreeNode):
                     "cutoffs only"
                 )
             return True
-        # auto: pallas on TPU-like backends when supported
-        return supported and jax.default_backend() not in ("cpu",)
+        # auto: the tuned XLA path currently beats the fused kernel on v5e
+        # (the kernel is latency-bound at VMEM-fitting tile sizes); opt in
+        # with strategy="pallas" explicitly.
+        return False
 
     def _pallas_config(self) -> tp.Tuple:
         cutoff_kind = (
@@ -480,7 +487,7 @@ def _angular_pallas_op(config, dist, diff, maskf, oh):
         cutoff=cutoff,
         cutoff_kind=kind,
         num_species=s,
-        tile=min(tile, 128),
+        tile=16,
     )
 
 

@@ -26,18 +26,20 @@ __all__ = ["angular_aev_pallas"]
 
 
 def _angular_kernel(
+    shifts_ref,  # (1, Sh) SMEM
+    cossec_ref,  # (1, Se) SMEM
+    sinsec_ref,  # (1, Se) SMEM
     dist_ref,  # (TA, Ka) f32 — 1.0 in masked lanes
     dx_ref,  # (TA, Ka)
     dy_ref,
     dz_ref,
     oh_ref,  # (TA, S, Ka) f32 one-hot by species plane (0 in masked lanes)
-    out_ref,  # (TA, P * Z) f32
+    out_ref,  # (TA, Z * 128) f32 — each z gets a 128-lane slot (P used)
     *,
     eta: float,
     zeta: float,
-    shifts: tp.Tuple[float, ...],
-    cos_sections: tp.Tuple[float, ...],
-    sin_sections: tp.Tuple[float, ...],
+    num_shifts: int,
+    num_sections: int,
     cutoff: float,
     cutoff_kind: str,
     num_species: int,
@@ -79,32 +81,40 @@ def _angular_kernel(
     fc2 = outer(fc, fc) * notself  # (TA, Kj, Kk), pair validity folded in
 
     scale = 2.0 * 2.0 ** (-zeta)  # fold the 2 * (1/2)^zeta prefactor
-
-    num_sections = len(cos_sections)
     p = len(pair_rows)
-    for sh_i, rs in enumerate(shifts):
+
+    # feature loop as fori_loop (an unrolled 32x body chokes the Mosaic
+    # compiler); per-z scalars come from SMEM
+    def zbody(z, carry):
+        sh_i = z // num_sections
+        se_i = z % num_sections
+        rs = shifts_ref[0, sh_i]
         rad = jnp.exp(-eta * (mean_d - rs) ** 2) * fc2
-        for se_i in range(num_sections):
-            cos_dev = c * cos_sections[se_i] + sin_theta * sin_sections[se_i]
-            t_z = rad * (scale * (1.0 + cos_dev) ** zeta)  # (TA, Kj, Kk)
-            # w[t] = sum_k T * oh_t[k]  (TA, Kj)
-            w = [
-                jnp.sum(t_z * oh_p[t][:, None, :], axis=2) for t in range(s)
-            ]
-            # T is symmetric in (j, k) and the grid covers both orders, so
-            # V~[s, t] = sum_{j != k} T oh_j[s] oh_k[t] is symmetric:
-            # off-diagonal packed pairs equal V~[s1, s2] directly and the
-            # diagonal needs the 0.5 double-count correction.
-            rows = []
-            for p_i in range(p):
-                s1, s2 = pair_rows[p_i], pair_cols[p_i]
-                if s1 == s2:
-                    rows.append(0.5 * jnp.sum(w[s1] * oh_p[s1], axis=1))
-                else:
-                    rows.append(jnp.sum(w[s2] * oh_p[s1], axis=1))
-            # z-major contiguous write; the caller permutes to pair-major
-            z = sh_i * num_sections + se_i
-            out_ref[:, z * p:(z + 1) * p] = jnp.stack(rows, axis=1)
+        cos_dev = c * cossec_ref[0, se_i] + sin_theta * sinsec_ref[0, se_i]
+        t_z = rad * (scale * (1.0 + cos_dev) ** zeta)  # (TA, Kj, Kk)
+        # w[t] = sum_k T * oh_t[k]  (TA, Kj)
+        w = [jnp.sum(t_z * oh_p[t][:, None, :], axis=2) for t in range(s)]
+        # T is symmetric in (j, k) and the grid covers both orders, so
+        # V~[s, t] = sum_{j != k} T oh_j[s] oh_k[t] is symmetric:
+        # off-diagonal packed pairs equal V~[s1, s2] directly and the
+        # diagonal needs the 0.5 double-count correction.
+        rows = []
+        for p_i in range(p):
+            s1, s2 = pair_rows[p_i], pair_cols[p_i]
+            if s1 == s2:
+                rows.append(0.5 * jnp.sum(w[s1] * oh_p[s1], axis=1))
+            else:
+                rows.append(jnp.sum(w[s2] * oh_p[s1], axis=1))
+        # z-major write into a 128-lane-aligned slot (Mosaic requires
+        # dynamic lane offsets to be 128-multiples); caller strips the pad
+        block = jnp.stack(rows, axis=1)  # (TA, P)
+        block = jnp.concatenate(
+            [block, jnp.zeros((ta, 128 - p), jnp.float32)], axis=1
+        )
+        out_ref[:, pl.ds(pl.multiple_of(z * 128, 128), 128)] = block
+        return carry
+
+    jax.lax.fori_loop(0, num_shifts * num_sections, zbody, 0)
 
 
 def angular_aev_pallas(
@@ -120,7 +130,7 @@ def angular_aev_pallas(
     cutoff: float,
     cutoff_kind: str,
     num_species: int,
-    tile: int = 32,
+    tile: int = 16,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused angular AEV; returns ``(N, P * Z)`` (pair-major layout)."""
@@ -149,23 +159,37 @@ def angular_aev_pallas(
         _angular_kernel,
         eta=float(eta),
         zeta=float(zeta),
-        shifts=tuple(float(x) for x in shifts),
-        cos_sections=tuple(float(math.cos(x)) for x in sections),
-        sin_sections=tuple(float(math.sin(x)) for x in sections),
+        num_shifts=len(shifts),
+        num_sections=len(sections),
         cutoff=float(cutoff),
         cutoff_kind=cutoff_kind,
         num_species=s,
         pair_rows=tuple(int(x) for x in iu1),
         pair_cols=tuple(int(x) for x in iu2),
     )
+    shifts_arr = jnp.asarray(
+        np.asarray(shifts, dtype=np.float32).reshape(1, -1)
+    )
+    cossec_arr = jnp.asarray(
+        np.cos(np.asarray(sections, dtype=np.float64)).astype(np.float32).reshape(1, -1)
+    )
+    sinsec_arr = jnp.asarray(
+        np.sin(np.asarray(sections, dtype=np.float64)).astype(np.float32).reshape(1, -1)
+    )
     grid = (n_pad // tile,)
     vec = lambda: pl.BlockSpec(  # noqa: E731
         (tile, ka), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = lambda w: pl.BlockSpec(  # noqa: E731
+        (1, w), lambda i: (0, 0), memory_space=pltpu.SMEM
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            smem(len(shifts)),
+            smem(len(sections)),
+            smem(len(sections)),
             vec(),
             vec(),
             vec(),
@@ -173,12 +197,12 @@ def angular_aev_pallas(
             pl.BlockSpec((tile, s, ka), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (tile, p * num_z), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile, num_z * 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, p * num_z), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, num_z * 128), jnp.float32),
         interpret=interpret,
-    )(dist_p, dx, dy, dz, oh_planes)
-    # kernel emits z-major (Z, P) columns; permute to the reference's
-    # pair-major (P, Z) layout
-    out = out[:n].reshape(n, num_z, p)
+    )(shifts_arr, cossec_arr, sinsec_arr, dist_p, dx, dy, dz, oh_planes)
+    # kernel emits z-major 128-lane slots; strip padding and permute to the
+    # reference's pair-major (P, Z) layout
+    out = out[:n].reshape(n, num_z, 128)[:, :, :p]
     return jnp.swapaxes(out, 1, 2).reshape(n, p * num_z)

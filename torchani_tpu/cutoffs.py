@@ -26,6 +26,7 @@ __all__ = [
     "CutoffSmooth",
     "CutoffBiweight",
     "CutoffTriweight",
+    "AltCutoffSmooth",
     "parse_cutoff_fn",
 ]
 
@@ -86,6 +87,20 @@ class CutoffTriweight(Cutoff):
 
     def __call__(self, distances: Array, cutoff: float) -> Array:
         return (1 - (distances / cutoff) ** 2) ** 3
+
+
+@dataclasses.dataclass(frozen=True)
+class AltCutoffSmooth(Cutoff):
+    r"""Variant smooth cutoff used by the r2scan (ANIr2s) models.
+
+    :math:`\exp(-1/(1 - \mathrm{clamp}(r/r_c)^2)) / e^{-1}` (reference
+    ``cutoffs.py:110-116``).
+    """
+
+    def __call__(self, distances: Array, cutoff: float) -> Array:
+        x = jnp.clip(distances / cutoff, 0.0, 1.0 - 1e-4)
+        e = -1.0 / (1.0 - x**2)
+        return jnp.exp(e) / 0.3678794411714423
 
 
 CutoffArg = tp.Union[str, Cutoff]

@@ -25,6 +25,9 @@ __all__ = [
     "ANI2xr",
     "ANIdr",
     "ANI2dr",
+    "ANImbis",
+    "ANIr2s",
+    "SnnANI2xr",
 ]
 
 
@@ -151,6 +154,96 @@ def ANIdr(
 
 
 ANI2dr = ANIdr
+
+
+def ANImbis(
+    model_index: tp.Optional[int] = None,
+    pretrained: bool = True,
+    key: tp.Optional[jax.Array] = None,
+):
+    """ANI-mbis: ANI-2x elements with MBIS atomic charges (ANIq model)."""
+    from torchani_tpu.arch import simple_aniq
+
+    model = simple_aniq(
+        SYMBOLS_2X,
+        lot="wb97x-631gd",
+        ensemble_size=8,
+        merge_charge_networks=False,
+        repulsion=False,
+        cutoff_fn="cosine",
+        radial_start=0.8,
+        radial_cutoff=5.1,
+        angular_start=0.8,
+        activation="celu",
+        bias=True,
+        key=key,
+    )
+    model = _maybe_load(model, "animbis", pretrained)
+    if model_index is not None:
+        model = _select_member(model, model_index)
+    return model
+
+
+def ANIr2s(
+    solvent: str = "water",
+    model_index: tp.Optional[int] = None,
+    pretrained: bool = True,
+    key: tp.Optional[jax.Array] = None,
+) -> ANI:
+    """ANI-r2s solvent models (r2scan-3c level of theory, alt-smooth cutoff)."""
+    from torchani_tpu.cutoffs import AltCutoffSmooth
+
+    lots = {
+        "vacuum": "r2scan3c-def2mtzvpp",
+        "water": "r2scan3c_water-def2mtzvpp",
+        "chcl3": "r2scan3c_chcl3-def2mtzvpp",
+        "ch3cn": "r2scan3c_ch3cn-def2mtzvpp",
+    }
+    if solvent not in lots:
+        raise ValueError(f"Unsupported solvent {solvent!r}; options {sorted(lots)}")
+    from torchani_tpu.arch import Assembler
+
+    asm = Assembler(periodic_table_index=True)
+    asm.set_symbols(SYMBOLS_2X)
+    asm.set_global_cutoff_fn(AltCutoffSmooth())
+    asm.set_aev_computer(radial="ani2x", angular="ani2x")
+    asm.set_atomic_networks(ctor="ani2x")
+    functional, basis = lots[solvent].split("-")
+    asm.set_gsaes_as_self_energies(f"{functional}-{basis}")
+    model = asm.assemble(8, key=key)
+    model = _maybe_load(model, f"anir2s_{solvent}", pretrained)
+    if model_index is not None:
+        model = _select_member(model, model_index)
+    return model
+
+
+def SnnANI2xr(
+    pretrained: bool = True,
+    key: tp.Optional[jax.Array] = None,
+) -> ANI:
+    """SingleNN variant of ANI-2xr (one shared network, per-element head)."""
+    import jax as _jax
+
+    from torchani_tpu.aev import AEVComputer
+    from torchani_tpu.nn import SingleNN
+    from torchani_tpu.potentials.nnp import NNPotential
+    from torchani_tpu.sae import SelfEnergy
+
+    aev = AEVComputer.like_2x(cutoff_fn="smooth")
+    networks = SingleNN.default(
+        SYMBOLS_2X, aev.out_dim, key=key or _jax.random.PRNGKey(0)
+    )
+    model = ANI(
+        potentials={
+            "nnp": NNPotential.make(SYMBOLS_2X, aev, networks),
+            "repulsion_zbl": RepulsionZBL.make(
+                SYMBOLS_2X, cutoff=5.1, cutoff_fn="smooth"
+            ),
+        },
+        energy_shifter=SelfEnergy.from_lot(SYMBOLS_2X, "wb97x-631gd"),
+        symbols=SYMBOLS_2X,
+    )
+    return _maybe_load(model, "snnani2xr", pretrained)
 
 
 def _select_member(model: ANI, idx: int) -> ANI:
