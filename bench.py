@@ -68,9 +68,11 @@ def main() -> None:
 
     md = MolecularDynamics(model, species_np, cell=cell_np, pbc=True)
     state = md.init(coords_np, temperature=300.0)
-    state = md.run_nve(state, 2)
-    _ = float(state.energy)
     md_iters = 20
+    # warm up with the SAME step count (scan length is part of the compiled
+    # program signature)
+    state = md.run_nve(state, md_iters)
+    _ = float(state.energy)
     t0 = time.perf_counter()
     state = md.run_nve(state, md_iters)
     _ = float(state.energy)

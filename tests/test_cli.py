@@ -1,0 +1,67 @@
+"""CLI end-to-end tests (sp / opt / data subcommands)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from torchani_tpu.cli import main
+from torchani_tpu.io import write_xyz
+
+
+@pytest.fixture(scope="module")
+def water_xyz(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cli") / "water.xyz"
+    species = np.array([[8, 1, 1]])
+    coords = np.array(
+        [[[0.0, 0.0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]]],
+        dtype=np.float32,
+    )
+    write_xyz(species, coords, path)
+    return path
+
+
+def test_sp(water_xyz, tmp_path, capsys):
+    out = tmp_path / "sp.json"
+    main(["sp", str(water_xyz), "-m", "simple", "-f", "-o", str(out)])
+    result = json.loads(out.read_text())
+    assert "energies" in result and "forces" in result
+    assert np.isfinite(result["energies"]).all()
+    assert np.asarray(result["forces"]).shape == (1, 3, 3)
+
+
+def test_opt(water_xyz, tmp_path, capsys):
+    out = tmp_path / "opt.xyz"
+    main(["opt", str(water_xyz), "-m", "simple", "-n", "50", "-o", str(out)])
+    captured = capsys.readouterr().out
+    assert "E=" in captured and "fmax=" in captured
+    assert out.exists()
+
+
+def test_data_roundtrip(tmp_path, capsys):
+    from torchani_tpu.datasets import ANIDataset
+
+    loc = tmp_path / "ds.h5"
+    rng = np.random.RandomState(0)
+    ds = ANIDataset(loc)
+    ds.append_conformers(
+        "g1",
+        {
+            "species": rng.choice([1, 6], (4, 3)),
+            "coordinates": rng.rand(4, 3, 3).astype(np.float32),
+            "energies": rng.randn(4),
+        },
+    )
+    main(["data", "ls", str(loc)])
+    assert "g1\t4" in capsys.readouterr().out
+    main(["data", "info", str(loc)])
+    info = json.loads(capsys.readouterr().out)
+    assert info["conformers"] == 4
+    dest = tmp_path / "batched"
+    main(["data", "pack", str(loc), str(dest), "--batch-size", "2"])
+    assert (dest / "creation_log.json").exists()
+
+
+def test_unknown_model_errors(water_xyz):
+    with pytest.raises(SystemExit):
+        main(["sp", str(water_xyz), "-m", "nope"])

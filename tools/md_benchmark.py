@@ -79,7 +79,7 @@ def main():
     state = md.init(coords[0] if coords.ndim == 3 else coords, temperature=300.0)
     import time as _time
 
-    _ = jax.block_until_ready(md.run_nve(state, 2).coords)  # compile
+    _ = float(md.run_nve(state, args.steps).energy)  # compile (same length)
     t0 = _time.perf_counter()
     state = md.run_nve(state, args.steps)
     _ = float(state.energy)

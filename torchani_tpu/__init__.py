@@ -10,10 +10,15 @@ structures, masked one-hot contractions on the MXU, functional pytree models,
 from torchani_tpu import (
     constants,
     cutoffs,
+    electro,
     grad,
+    io,
+    md,
     models,
     neighbors,
+    optimize,
     potentials,
+    profiling,
     units,
     utils,
 )
@@ -39,8 +44,13 @@ __all__ = [
     "simple_aniq",
     "single_point",
     "constants",
+    "electro",
+    "io",
+    "md",
     "models",
+    "optimize",
     "potentials",
+    "profiling",
     "cutoffs",
     "grad",
     "neighbors",

@@ -295,8 +295,14 @@ class AEVComputer(struct.PyTreeNode):
             onehot = jax.nn.one_hot(
                 jnp.where(rmask, nbr_elem, -1), s, dtype=rterms.dtype
             )  # (N, K, S); -1 rows are all-zero
-            radial_aev = jnp.einsum(
-                "nkr,nks->nsr", rterms, onehot, precision=_HIGHEST
+            # species accumulation as masked VPU sums (an (R x K x S) matmul
+            # is a terrible MXU shape; see the angular path)
+            radial_aev = jnp.stack(
+                [
+                    jnp.sum(rterms * onehot[:, :, None, t], axis=1)
+                    for t in range(s)
+                ],
+                axis=1,
             ).reshape(n, self.radial_len)
 
         # --- angular ---

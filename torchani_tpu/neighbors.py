@@ -464,8 +464,8 @@ def cell_list(
     g = gx * gy * gz
 
     if bucket_capacity is None:
-        # mean occupancy x 2.5 headroom (overflow is detected and flagged)
-        bucket_capacity = int(max(8, -(-5 * a // (2 * g) // 8) * 8))
+        # mean occupancy x 2 headroom (overflow is detected and flagged)
+        bucket_capacity = int(max(8, -(-2 * a // g // 8) * 8))
     b = bucket_capacity
     if capacity is None:
         capacity = estimate_capacity(cutoff, a, periodic=periodic)
