@@ -269,18 +269,31 @@ class MolecularDynamics:
         )
 
     # ---- drivers ----
+    # Compiled scan programs are cached per (kind, length, params): a fresh
+    # jax.jit wrapper per call would recompile the whole chunk every time.
+    def _compiled_runner(self, key, make_step):
+        cache = getattr(self, "_runner_cache", None)
+        if cache is None:
+            cache = {}
+            self._runner_cache = cache
+        if key not in cache:
+            num_steps = key[1]
+
+            @jax.jit
+            def chunk(st):
+                def body(st, _):
+                    return make_step(st), None
+
+                st, _ = jax.lax.scan(body, st, None, length=num_steps)
+                return st
+
+            cache[key] = chunk
+        return cache[key]
+
     def run_nve(self, state: MDState, num_steps: int) -> MDState:
         """Run many NVE steps in one device program (lax.scan)."""
-
-        @jax.jit
-        def chunk(st):
-            def body(st, _):
-                return self.step_nve(st), None
-
-            st, _ = jax.lax.scan(body, st, None, length=num_steps)
-            return st
-
-        return chunk(state)
+        runner = self._compiled_runner(("nve", num_steps), self.step_nve)
+        return runner(state)
 
     def run_langevin(
         self,
@@ -289,12 +302,8 @@ class MolecularDynamics:
         temperature: float,
         friction_per_fs: float = 0.01,
     ) -> MDState:
-        @jax.jit
-        def chunk(st):
-            def body(st, _):
-                return self.step_langevin(st, temperature, friction_per_fs), None
-
-            st, _ = jax.lax.scan(body, st, None, length=num_steps)
-            return st
-
-        return chunk(state)
+        runner = self._compiled_runner(
+            ("langevin", num_steps, float(temperature), float(friction_per_fs)),
+            lambda st: self.step_langevin(st, temperature, friction_per_fs),
+        )
+        return runner(state)
