@@ -1,0 +1,89 @@
+"""Training throughput benchmark (samples/s), ANI-1x-style batches.
+
+Counterpart of the reference's epoch-time table (``csrc/README.md:106-113``:
+ANI-1x, batch 2560, cuAEV on V100: 18.2 s/epoch energy-only, 59.5 s with
+forces).  Uses synthetic GDB-like molecules (random HCNO, <= 26 atoms) since
+the published datasets cannot be downloaded here.
+
+  python tools/training_benchmark.py [--batch-size 2560] [--force-training]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=2560)
+    parser.add_argument("--max-atoms", type=int, default=26)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--force-training", action="store_true")
+    parser.add_argument("--ensemble", type=int, default=1)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from torchani_tpu import simple_ani
+    from torchani_tpu.testing import make_molecs
+    from torchani_tpu.training import make_train_step
+
+    model = simple_ani(
+        ("H", "C", "N", "O"),
+        ensemble_size=args.ensemble,
+        repulsion=False,
+        cutoff_fn="cosine",
+        radial_start=0.9,
+        radial_cutoff=5.2,
+        angular_start=0.9,
+        activation="celu",
+        bias=True,
+    )
+    model = model.replace(
+        energy_shifter=model.energy_shifter.replace(enabled=False)
+    )
+    species, coords = make_molecs(args.batch_size, args.max_atoms, seed=0)
+    batch = {
+        "species": jnp.asarray(species),
+        "coordinates": jnp.asarray(coords),
+        "energies": jnp.asarray(
+            np.random.RandomState(1).randn(args.batch_size).astype(np.float32)
+        ),
+        "forces": jnp.zeros_like(jnp.asarray(coords)),
+    }
+    init_fn, step_fn = make_train_step(
+        model, optax.adamw(1e-3), force_training=args.force_training
+    )
+    state = init_fn()
+    step_jit = jax.jit(step_fn)
+    state, metrics = step_jit(state, batch)
+    _ = float(metrics["loss"])  # compile + sync
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = step_jit(state, batch)
+        _ = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / args.iters
+    samples_s = args.batch_size / dt
+    print(
+        f"batch {args.batch_size} x {args.max_atoms} atoms, "
+        f"ensemble {args.ensemble}, force_training={args.force_training}: "
+        f"{dt * 1e3:.1f} ms/step = {samples_s:,.0f} samples/s"
+    )
+    # reference scale: ANI-1x training set ~4.96M conformers
+    print(f"projected ANI-1x epoch (4.96M conformers): {4.96e6 / samples_s:.1f} s")
+
+
+if __name__ == "__main__":
+    main()

@@ -271,7 +271,7 @@ class AEVComputer(struct.PyTreeNode):
         import math as _math
 
         est = int(
-            _math.ceil(4.0 / 3.0 * _math.pi * self.angular.cutoff**3 * 0.12 * 1.5)
+            _math.ceil(4.0 / 3.0 * _math.pi * self.angular.cutoff**3 * 0.12 * 1.3)
         )
         est = max(24, _ceil_to(est, 8))
         return min(est, radial_capacity)
