@@ -90,6 +90,69 @@ def _parse_comment(
     return cell, pbc
 
 
+def _native_read_xyz(path, detect_padding: bool, pad_species_value: int):
+    """Fast path via the C++ parser; returns None when unavailable.
+
+    Cell/pbc still come from the first comment line (parsed in Python —
+    the native parser handles only the per-atom hot loop).
+    """
+    from torchani_tpu.csrc import load_xyzparse
+
+    lib = load_xyzparse()
+    if lib is None:
+        return None
+    import ctypes
+
+    raw = Path(path).read_bytes()
+    # crude upper bounds: frames <= lines / 3, atoms <= largest header value
+    max_frames = max(1, raw.count(b"\n") // 3 + 1)
+    cap = 1024
+    while True:
+        counts = np.zeros(max_frames, dtype=np.int32)
+        znums = np.zeros(max_frames * cap, dtype=np.int32)
+        coords = np.zeros(max_frames * cap * 3, dtype=np.float32)
+        nf = lib.parse_xyz(
+            raw,
+            len(raw),
+            max_frames,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            znums.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cap,
+        )
+        if nf >= 0:
+            break
+        if cap < 10_000_000:
+            cap *= 8  # likely a frame larger than the cap; retry bigger
+            continue
+        return None  # genuine parse failure -> python fallback
+    if nf == 0:
+        return None
+    counts = counts[:nf]
+    a_max = int(counts.max())
+    species = np.full((nf, a_max), -1, dtype=np.int64)
+    out_coords = np.zeros((nf, a_max, 3), dtype=np.float32)
+    zn = znums.reshape(max_frames, cap)
+    co = coords.reshape(max_frames, cap, 3)
+    for i in range(nf):
+        c = counts[i]
+        species[i, :c] = zn[i, :c]
+        out_coords[i, :c] = co[i, :c]
+    if detect_padding:
+        padmask = species == pad_species_value
+        species[padmask] = -1
+        out_coords[padmask] = 0.0
+    # cell/pbc from the first comment line
+    text = raw.decode("utf-8", errors="replace").splitlines()
+    cell = pbc = None
+    if len(text) >= 2:
+        try:
+            cell, pbc = _parse_comment(text[1])
+        except TorchaniIOError:
+            cell = pbc = None
+    return species, out_coords, cell, pbc
+
+
 def read_xyz(
     path,
     detect_padding: bool = True,
@@ -101,7 +164,14 @@ def read_xyz(
     Returns ``(species (C, A), coordinates (C, A, 3), cell | None, pbc | None)``
     (plus the comment lines if ``return_comments``).  Conformers with fewer
     atoms are padded with species -1 / coords 0.
+
+    Uses the native C++ parser (``torchani_tpu/csrc``) when available; the
+    pure-Python path below is the fallback and handles ``return_comments``.
     """
+    if not return_comments:
+        native = _native_read_xyz(path, detect_padding, pad_species_value)
+        if native is not None:
+            return native
     frames: tp.List[tp.Dict[str, np.ndarray]] = []
     comments: tp.List[str] = []
     cell = None

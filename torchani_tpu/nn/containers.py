@@ -149,25 +149,33 @@ class AtomicNetworks(struct.PyTreeNode):
         c, a = elem_idxs.shape
         x0 = aevs.reshape(c * a, aevs.shape[-1])
         elem = elem_idxs.reshape(c * a)
-        out = jnp.zeros((c * a, self.out_dim), dtype=aevs.dtype)
         num_layers = len(self.weights)
         # If the species array is a trace-time constant (e.g. MD closes over
         # a fixed system), skip element networks with no atoms — a pure-water
         # box then runs 2 of 7 networks.  Traced species fall back to all.
-        species_range: tp.Iterable[int] = range(self.num_species)
+        species_list: tp.List[int] = list(range(self.num_species))
         if not isinstance(elem_idxs, jax.core.Tracer):
             present = set(np.unique(np.asarray(elem_idxs)).tolist())
-            species_range = [s for s in range(self.num_species) if s in present]
-        for s in species_range:
-            x = x0
-            for li in range(num_layers):
-                w = self.weights[li][s]
-                x = jnp.dot(x, w, precision=_HIGHEST)
-                if self.biases is not None:
-                    x = x + self.biases[li][s]
-                if li < num_layers - 1:
-                    x = act(x)
-            out = jnp.where((elem == s)[:, None], x[:, : self.out_dim], out)
+            species_list = [s for s in species_list if s in present]
+        sel = np.asarray(species_list)
+        # One species-batched matmul chain per layer (batch dim = species)
+        # instead of a sequential per-species loop — better MXU scheduling.
+        x = jnp.einsum(
+            "nf,sfo->sno", x0, self.weights[0][sel], precision=_HIGHEST
+        )
+        if self.biases is not None:
+            x = x + self.biases[0][sel][:, None, :]
+        for li in range(1, num_layers):
+            x = act(x)
+            x = jnp.einsum(
+                "snf,sfo->sno", x, self.weights[li][sel], precision=_HIGHEST
+            )
+            if self.biases is not None:
+                x = x + self.biases[li][sel][:, None, :]
+        # select each atom's own-species column
+        out = jnp.zeros((c * a, self.out_dim), dtype=aevs.dtype)
+        for i, s in enumerate(species_list):
+            out = jnp.where((elem == s)[:, None], x[i, :, : self.out_dim], out)
         out = jnp.where((elem >= 0)[:, None], out, 0.0)
         return out.reshape(c, a, self.out_dim)
 
