@@ -20,6 +20,7 @@ __all__ = [
     "load_torch_state_dict",
     "numpy_state_dict",
     "load_state_dict",
+    "save_state_dict",
 ]
 
 
@@ -86,6 +87,67 @@ def _fill_container(
         weights=tuple(new_weights),
         biases=None if new_biases is None else tuple(new_biases),
     )
+
+
+def _container_arrays(
+    container: AtomicNetworks, prefix: str
+) -> tp.Dict[str, np.ndarray]:
+    """Export one container's ragged per-symbol layers in torch layout."""
+    out: tp.Dict[str, np.ndarray] = {}
+    num_layers = len(container.weights)
+    for si, sym in enumerate(container.symbols):
+        dims = container.layer_dims[si]
+        for li in range(num_layers):
+            w = np.asarray(container.weights[li][si])[: dims[li], : dims[li + 1]].T
+            name = (
+                f"{prefix}atomics.{sym}.final_layer"
+                if li == num_layers - 1
+                else f"{prefix}atomics.{sym}.layers.{li}"
+            )
+            out[f"{name}.weight"] = w
+            if container.biases is not None:
+                out[f"{name}.bias"] = np.asarray(
+                    container.biases[li][si]
+                )[: dims[li + 1]]
+    return out
+
+
+def save_state_dict(model: ANI) -> tp.Dict[str, np.ndarray]:
+    """Export a model as a flat dict using the reference's torch key scheme.
+
+    Inverse of `load_state_dict` (round-trippable); useful for interchange
+    with the reference implementation and for ``.npz`` weight archives.
+    """
+    sd: tp.Dict[str, np.ndarray] = {
+        "energy_shifter.self_energies": np.asarray(
+            model.energy_shifter.self_energies
+        ),
+    }
+    nnp = model.potentials["nnp"]
+    aev = nnp.aev_computer
+    prefix = "potentials.nnp.aev_computer."
+    sd[prefix + "radial.eta"] = np.asarray(aev.radial.eta)
+    sd[prefix + "radial.shifts"] = np.asarray(aev.radial.shifts)
+    sd[prefix + "angular.eta"] = np.asarray(aev.angular.eta)
+    sd[prefix + "angular.zeta"] = np.asarray(aev.angular.zeta)
+    sd[prefix + "angular.shifts"] = np.asarray(aev.angular.shifts)
+    sd[prefix + "angular.sections"] = np.asarray(aev.angular.sections)
+
+    networks = nnp.neural_networks
+    base = "potentials.nnp.neural_networks."
+    if isinstance(networks, Ensemble):
+        for e in range(networks.total_members_num):
+            sd.update(_container_arrays(networks.member(e), f"{base}members.{e}."))
+    else:
+        sd.update(_container_arrays(networks, base))
+
+    for name, pot in model.potentials.items():
+        if name == "nnp":
+            continue
+        for field in ("y_ab", "sqrt_alpha_ab", "k_rep_ab"):
+            if getattr(pot, field, None) is not None:
+                sd[f"potentials.{name}.{field}"] = np.asarray(getattr(pot, field))
+    return sd
 
 
 def load_state_dict(model: ANI, sd: tp.Mapping[str, np.ndarray]) -> ANI:

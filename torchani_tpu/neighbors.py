@@ -648,6 +648,33 @@ class AdaptiveList:
         )
 
 
+def discard_inter_molecule_pairs(
+    neighbors: Neighbors, molecule_idxs: Array
+) -> Neighbors:
+    """Mask out pairs whose atoms belong to different molecules.
+
+    ``molecule_idxs`` assigns a molecule id to every atom of the flattened
+    system (reference ``discard_inter_molecule_pairs``/``_molecule_idxs``
+    feature, ``neighbors.py:31-43`` / ``arch.py:681``).
+    """
+    flat = molecule_idxs.reshape(-1)
+    center = flat[..., :, None] if neighbors.idx.ndim == 2 else None
+    if neighbors.idx.ndim == 3:
+        c, a, k = neighbors.idx.shape
+        center_ids = molecule_idxs.reshape(c, a)[:, :, None]
+        nbr_ids = jnp.take(flat, jnp.where(neighbors.mask, neighbors.idx, 0), axis=0)
+        same = center_ids == nbr_ids
+    else:
+        nbr_ids = jnp.take(flat, jnp.where(neighbors.mask, neighbors.idx, 0), axis=0)
+        same = flat[:, None] == nbr_ids
+    mask = neighbors.mask & same
+    return neighbors.replace(
+        mask=mask,
+        diff=jnp.where(mask[..., None], neighbors.diff, 0.0),
+        dist=jnp.where(mask, neighbors.dist, 1.0),
+    )
+
+
 def reconstruct_shifts(coords: Array, neighbors: Neighbors) -> Array:
     """Recover the cartesian image shifts used to build a neighbor table.
 
