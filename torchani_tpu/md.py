@@ -104,7 +104,7 @@ class MolecularDynamics:
         species: Array,  # (1, A) atomic numbers
         cell: tp.Optional[Array] = None,
         pbc: bool = False,
-        skin: float = 1.0,
+        skin: float = 0.75,
         capacity: tp.Optional[int] = None,
         bucket_capacity: tp.Optional[int] = None,
         timestep_fs: float = 1.0,
