@@ -15,6 +15,43 @@ from pathlib import Path
 
 import numpy as np
 
+
+def _ensure_ref_stubs() -> None:
+    """Create minimal stubs for packages the reference imports but this
+    environment lacks (typer for its CLI; parameterized for _testing)."""
+    stub_root = Path("/tmp/refstub")
+    typer = stub_root / "typer"
+    typer.mkdir(parents=True, exist_ok=True)
+    (typer / "__init__.py").write_text(
+        "class Typer:\n"
+        "    def __init__(self, *a, **k): pass\n"
+        "    def command(self, *a, **k):\n"
+        "        def deco(f): return f\n"
+        "        return deco\n"
+        "    def callback(self, *a, **k):\n"
+        "        def deco(f): return f\n"
+        "        return deco\n"
+        "    def add_typer(self, *a, **k): pass\n"
+        "    def __call__(self, *a, **k): pass\n"
+        "def Argument(*a, **k): return None\n"
+        "def Option(*a, **k): return None\n"
+        "class Abort(Exception): pass\n"
+    )
+    param = stub_root / "parameterized"
+    param.mkdir(parents=True, exist_ok=True)
+    (param / "__init__.py").write_text(
+        "def parameterized_class(*a, **k):\n"
+        "    def deco(cls): return cls\n"
+        "    return deco\n"
+        "class parameterized:\n"
+        "    @staticmethod\n"
+        "    def expand(*a, **k):\n"
+        "        def deco(f): return f\n"
+        "        return deco\n"
+    )
+
+
+_ensure_ref_stubs()
 sys.path.insert(0, "/tmp/refstub")
 sys.path.insert(0, "/root/reference")
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -186,6 +223,54 @@ def make_potential_goldens():
     print("wrote potential_goldens.npz")
 
 
+def make_acceptance_goldens():
+    """Repackage the reference's OWN shipped potential goldens.
+
+    ``/root/reference/tests/resources/potentials/*.pkl`` hold expected
+    energies/forces for `make_molecs(10, 10, seed=1234)` molecules
+    (reference ``test_potentials_acceptance.py``).  We reproduce the exact
+    inputs with the reference's factory and bundle inputs + expectations.
+    """
+    import pickle
+
+    from torchani.constants import ATOMIC_NUMBER
+    from torchani.utils import SYMBOLS_2X
+
+    def ref_make_molecs(molecs_num, atoms_num, symbols, seed):
+        # exact reimplementation of torchani._testing.make_molecs sampling
+        # (the module itself needs 'expecttest', absent here)
+        rng = torch.Generator(device="cpu")
+        rng.manual_seed(seed)
+        torch.manual_seed(seed)
+        coords = (
+            torch.rand((molecs_num, atoms_num, 3), generator=rng) * 10.0 + 1.0e-3
+        )
+        idxs = torch.randint(
+            0, len(symbols), (molecs_num * atoms_num,), generator=rng
+        )
+        kinds = torch.tensor([ATOMIC_NUMBER[s] for s in symbols])
+        return kinds[idxs].view(molecs_num, atoms_num), coords
+
+    znums_hcno, coords_hcno = ref_make_molecs(10, 10, ("H", "C", "N", "O"), 1234)
+    znums_2x, coords_2x = ref_make_molecs(10, 10, SYMBOLS_2X, 1234)
+    out = {
+        "e_atomic_nums": znums_hcno.numpy(),
+        "e_coords": coords_hcno.numpy(),
+        "f_atomic_nums": znums_2x.numpy(),
+        "f_coords": coords_2x.numpy(),
+    }
+    res = Path("/root/reference/tests/resources/potentials")
+    for name in ("zbl", "lj", "rep-lj", "disp-lj", "fixed-coulomb", "fixed-mnok"):
+        with open(res / f"{name}-energies.pkl", "rb") as f:
+            out[f"{name}_energies"] = np.asarray(pickle.load(f))
+        with open(res / f"{name}-energies-forces.pkl", "rb") as f:
+            e, forces = pickle.load(f)
+            out[f"{name}_f_energies"] = np.asarray(e)
+            out[f"{name}_forces"] = np.asarray(forces)
+    np.savez_compressed(OUT / "acceptance_goldens.npz", **out)
+    print("wrote acceptance_goldens.npz")
+
+
 def make_vib_goldens():
     """Hessian + vibrational frequencies for a small molecule."""
     torch.manual_seed(SEED)
@@ -222,4 +307,5 @@ if __name__ == "__main__":
     make_aev_pbc_goldens()
     make_model_goldens()
     make_potential_goldens()
+    make_acceptance_goldens()
     make_vib_goldens()
