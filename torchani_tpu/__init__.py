@@ -26,7 +26,7 @@ from torchani_tpu.aev import AEVComputer
 from torchani_tpu.arch import ANI, ANIq, Assembler, simple_ani, simple_aniq
 from torchani_tpu.grad import single_point
 from torchani_tpu.nn import ANINetworks, AtomicNetworks, Ensemble, SpeciesConverter
-from torchani_tpu.sae import SelfEnergy
+from torchani_tpu.sae import EnergyShifter, SelfEnergy
 
 __version__ = "0.1.0"
 
@@ -39,6 +39,7 @@ __all__ = [
     "AtomicNetworks",
     "Ensemble",
     "SelfEnergy",
+    "EnergyShifter",
     "SpeciesConverter",
     "simple_ani",
     "simple_aniq",

@@ -12,7 +12,7 @@ from flax import struct
 from torchani_tpu.annotations import Array, Symbols
 from torchani_tpu.constants import ATOMIC_NUMBER, GSAES
 
-__all__ = ["SelfEnergy", "sorted_gsaes"]
+__all__ = ["SelfEnergy", "EnergyShifter", "sorted_gsaes"]
 
 
 def sorted_gsaes(
@@ -65,3 +65,7 @@ class SelfEnergy(struct.PyTreeNode):
         if atomic:
             return e
         return jnp.sum(e, axis=-1)
+
+
+#: Backwards-compatible alias (the reference exported ``EnergyShifter``)
+EnergyShifter = SelfEnergy
