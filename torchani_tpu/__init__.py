@@ -8,17 +8,24 @@ structures, masked one-hot contractions on the MXU, functional pytree models,
 """
 
 from torchani_tpu import (
+    cli,
     constants,
     cutoffs,
+    datasets,
     electro,
     grad,
     io,
+    legacy_data,
     md,
     models,
     neighbors,
+    neurochem,
     optimize,
     potentials,
     profiling,
+    sae,
+    sae_estimation,
+    transforms,
     units,
     utils,
 )
@@ -30,10 +37,15 @@ from torchani_tpu.sae import EnergyShifter, SelfEnergy
 
 __version__ = "0.1.0"
 
+#: Legacy alias kept for reference API parity (/root/reference/torchani/nn.py
+#: exported ``ANIModel`` as the pre-2.x name of ``ANINetworks``).
+ANIModel = ANINetworks
+
 __all__ = [
     "AEVComputer",
     "ANI",
     "ANIq",
+    "ANIModel",
     "ANINetworks",
     "Assembler",
     "AtomicNetworks",
@@ -44,17 +56,24 @@ __all__ = [
     "simple_ani",
     "simple_aniq",
     "single_point",
+    "cli",
     "constants",
+    "datasets",
     "electro",
     "io",
+    "legacy_data",
     "md",
     "models",
+    "neurochem",
     "optimize",
     "potentials",
     "profiling",
     "cutoffs",
     "grad",
     "neighbors",
+    "sae",
+    "sae_estimation",
+    "transforms",
     "units",
     "utils",
 ]

@@ -177,6 +177,13 @@ class ANI(struct.PyTreeNode):
             elem_idxs, coords, neighbors, charge, atomic, False, ghost_flags
         )
 
+    def ase(self, **kwargs):
+        """Return an ASE calculator wrapping this model (reference
+        ``arch.py`` ``ANI.ase()`` analog; requires the ``ase`` package)."""
+        from torchani_tpu.ase import Calculator
+
+        return Calculator(self, **kwargs)
+
     # ---- ensemble analytics ----
     def members_energies(
         self,

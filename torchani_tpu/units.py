@@ -111,3 +111,15 @@ def sqrt_mhessian2milliev(x):
 def mhessian2fconst(x):
     """Mass-scaled Hessian units to mDyne/Angstrom."""
     return x * MHESSIAN_TO_FCONST
+
+
+def ea2debye(x):
+    """Electron-Angstrom (dipole) to Debye."""
+    return x / DEBYE_TO_ELECTRON_ANGSTROM
+
+
+# Legacy aliases ("-mol" spellings, kept for reference API parity)
+HARTREE_TO_KCALMOL = HARTREE_TO_KCALPERMOL
+EV_TO_KCALMOL = EV_TO_KCALPERMOL
+HARTREE_TO_KJOULEMOL = HARTREE_TO_KJOULEPERMOL
+EV_TO_KJOULEMOL = EV_TO_KJOULEPERMOL

@@ -216,3 +216,51 @@ class AtomicNumbersToMasses:
 def get_atomic_masses(atomic_numbers: Array) -> Array:
     """Masses (AMU) for a tensor of atomic numbers; -1 padding maps to 0."""
     return AtomicNumbersToMasses()(atomic_numbers)
+
+
+class ChemicalSymbolsToAtomicNumbers:
+    """Map chemical symbols to atomic numbers (reference utils.py parity)."""
+
+    def __call__(self, symbols: tp.Sequence[str]) -> np.ndarray:
+        return np.array(symbols_to_atomic_numbers(symbols), dtype=np.int64)
+
+
+class AtomicNumbersToChemicalSymbols:
+    """Map atomic numbers back to chemical symbols; -1 padding is dropped."""
+
+    def __call__(self, atomic_numbers: tp.Sequence[int]) -> tp.List[str]:
+        return [s for s in atomic_numbers_to_symbols(
+            [int(z) for z in np.asarray(atomic_numbers).reshape(-1) if int(z) >= 0]
+        )]
+
+
+class IntsToChemicalSymbols:
+    """Map 0-based model element indices back to chemical symbols."""
+
+    def __init__(self, symbols: tp.Sequence[str]) -> None:
+        self._symbols = tuple(symbols)
+
+    def __call__(self, idxs: tp.Sequence[int]) -> tp.List[str]:
+        return [
+            self._symbols[int(i)]
+            for i in np.asarray(idxs).reshape(-1)
+            if int(i) >= 0
+        ]
+
+
+def atomic_numbers_to_masses(atomic_numbers: Array) -> Array:
+    """Alias of :func:`get_atomic_masses` (reference utils.py name)."""
+    return get_atomic_masses(atomic_numbers)
+
+
+def download_and_extract(*args: tp.Any, **kwargs: tp.Any) -> None:
+    """Unavailable: this build runs without network egress.
+
+    The reference uses this to fetch published datasets/weights
+    (/root/reference/torchani/utils.py). Place files under the local data
+    root (``torchani_tpu.paths``) instead.
+    """
+    raise RuntimeError(
+        "download_and_extract is unavailable in this environment (no network "
+        "egress). Place the archive under the torchani_tpu data root instead."
+    )
