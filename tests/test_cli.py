@@ -65,3 +65,30 @@ def test_data_roundtrip(tmp_path, capsys):
 def test_unknown_model_errors(water_xyz):
     with pytest.raises(SystemExit):
         main(["sp", str(water_xyz), "-m", "nope"])
+
+
+def test_data_rm_and_clean(tmp_path, capsys):
+    import numpy as np
+
+    from torchani_tpu.cli import main
+    from torchani_tpu.datasets import ANIDataset
+
+    p = str(tmp_path / "x.h5")
+    ds = ANIDataset(p)
+    coords = np.random.rand(5, 3, 3).astype(np.float32)
+    coords[2, 0, 0] = np.nan
+    e = np.random.rand(5)
+    e[4] = np.inf
+    ds.append_conformers("water", {"species": np.tile([8, 1, 1], (5, 1)),
+                                   "coordinates": coords, "energies": e})
+    ds.append_conformers("junk", {"species": np.tile([1, 1], (2, 1)),
+                                  "coordinates": np.random.rand(2, 2, 3).astype(np.float32)})
+    main(["data", "clean", p])
+    assert "removed 2" in capsys.readouterr().out
+    main(["data", "rm", p, "junk"])
+    ds2 = ANIDataset(p)
+    assert ds2.keys() == ["water"] and ds2.num_conformers == 3
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["data", "rm", p, "nope"])

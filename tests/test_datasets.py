@@ -160,3 +160,37 @@ def test_filter_by_high_force():
     before = ds.num_conformers
     filter_by_high_force(ds, threshold=50.0, delete=True)
     assert ds.num_conformers == before - len(flagged)
+
+
+class TestUnionStore:
+    def test_multi_location_dataset(self, tmp_path):
+        import numpy as np
+
+        from torchani_tpu.datasets import ANIDataset
+
+        for fname, gname, z in [("a.h5", "water", [8, 1, 1]),
+                                ("b.h5", "methane", [6, 1, 1, 1, 1])]:
+            ds = ANIDataset(tmp_path / fname)
+            ds.append_conformers(gname, {
+                "species": np.tile(z, (4, 1)),
+                "coordinates": np.random.rand(4, len(z), 3).astype(np.float32),
+                "energies": np.random.rand(4),
+            })
+        u = ANIDataset([tmp_path / "a.h5", tmp_path / "b.h5"])
+        assert sorted(u.keys()) == ["a/water", "b/methane"]
+        assert u.num_conformers == 8
+        assert u.get_conformers("a/water", [0, 2])["coordinates"].shape == (2, 3, 3)
+        u.append_conformers("b/methane", {
+            "species": np.tile([6, 1, 1, 1, 1], (2, 1)),
+            "coordinates": np.random.rand(2, 5, 3).astype(np.float32),
+            "energies": np.random.rand(2),
+        })
+        assert u.group_sizes()["b/methane"] == 6
+        u.delete_conformers("a/water", [0])
+        assert u.group_sizes()["a/water"] == 3
+        # stem collision gets a numeric suffix
+        (tmp_path / "sub").mkdir()
+        import shutil
+        shutil.copy(tmp_path / "a.h5", tmp_path / "sub" / "a.h5")
+        u2 = ANIDataset([tmp_path / "a.h5", tmp_path / "sub" / "a.h5"])
+        assert sorted(u2.keys()) == ["a/water", "a2/water"]

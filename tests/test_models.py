@@ -58,3 +58,21 @@ def test_anir2s_solvents_differ():
     ew = float(np.asarray(w(WATER_S, WATER_C))[0])
     ec = float(np.asarray(c(WATER_S, WATER_C))[0])
     assert ew != ec
+
+
+def test_custom_models_hook(tmp_path, monkeypatch):
+    monkeypatch.setenv("TORCHANI_TPU_DATA_DIR", str(tmp_path))
+    mdir = tmp_path / "CustomModels" / "MyANI"
+    mdir.mkdir(parents=True)
+    (mdir / "model.py").write_text(
+        "import torchani_tpu as tt\n"
+        "def MyANI(**kw):\n"
+        "    return tt.simple_ani(('H','O'), ensemble_size=1)\n"
+    )
+    from torchani_tpu import models
+
+    assert type(models.MyANI()).__name__ == "ANI"
+    import pytest
+
+    with pytest.raises(AttributeError):
+        models.NoSuchModel

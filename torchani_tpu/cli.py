@@ -162,6 +162,38 @@ def cmd_data_convert(args) -> None:
     print(f"wrote {args.dest}")
 
 
+def cmd_data_rm(args) -> None:
+    from torchani_tpu.datasets import ANIDataset
+
+    ds = ANIDataset(args.location)
+    for name in args.groups:
+        if name not in ds:
+            raise SystemExit(f"error: no group named {name!r} in {args.location}")
+        ds.delete_conformers(name)
+        print(f"deleted group {name}")
+
+
+def cmd_data_clean(args) -> None:
+    """Drop conformers with non-finite coordinates/energies/forces
+    (reference ``ani data clean`` analog)."""
+    from torchani_tpu.datasets import ANIDataset
+
+    ds = ANIDataset(args.location)
+    total = 0
+    for name in list(ds.keys()):
+        group = ds.get_conformers(name)
+        n = next(iter(group.values())).shape[0]
+        bad = np.zeros(n, dtype=bool)
+        for key, arr in group.items():
+            if np.issubdtype(arr.dtype, np.floating):
+                bad |= ~np.isfinite(arr.reshape(n, -1)).all(axis=1)
+        if bad.any():
+            total += int(bad.sum())
+            ds.delete_conformers(name, np.nonzero(bad)[0])
+            print(f"{name}: removed {int(bad.sum())}/{n}")
+    print(f"removed {total} non-finite conformers")
+
+
 def cmd_data_pack(args) -> None:
     from torchani_tpu.datasets import create_batched_dataset
 
@@ -224,6 +256,13 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p.add_argument("location")
     p.add_argument("dest")
     p.set_defaults(fn=cmd_data_convert)
+    p = dsub.add_parser("rm", help="delete conformer groups")
+    p.add_argument("location")
+    p.add_argument("groups", nargs="+")
+    p.set_defaults(fn=cmd_data_rm)
+    p = dsub.add_parser("clean", help="remove conformers with non-finite values")
+    p.add_argument("location")
+    p.set_defaults(fn=cmd_data_clean)
     p = dsub.add_parser("pack", help="create a batched dataset")
     p.add_argument("location")
     p.add_argument("dest")

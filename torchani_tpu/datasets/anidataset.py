@@ -14,7 +14,7 @@ from pathlib import Path
 import numpy as np
 
 from torchani_tpu.constants import PERIODIC_TABLE
-from torchani_tpu.datasets.backends import Store, create_store
+from torchani_tpu.datasets.backends import Store, UnionStore, create_store
 
 __all__ = ["ANIDataset"]
 
@@ -39,13 +39,22 @@ class ANIDataset:
     ) -> None:
         if store is not None:
             self._store = store
+        elif isinstance(locations, (list, tuple)):
+            if len(locations) == 1:
+                self._store = create_store(locations[0], backend)
+            else:
+                # Reference parity: several files presented as one dataset
+                # with store-prefixed group names ("<stem>/<group>").
+                stores: tp.Dict[str, Store] = {}
+                for loc in locations:
+                    name = Path(loc).stem
+                    suffix, i = name, 1
+                    while suffix in stores:
+                        i += 1
+                        suffix = f"{name}{i}"
+                    stores[suffix] = create_store(loc, backend)
+                self._store = UnionStore(stores)
         else:
-            if isinstance(locations, (list, tuple)):
-                if len(locations) != 1:
-                    raise NotImplementedError(
-                        "Multiple store locations not supported yet"
-                    )
-                locations = locations[0]
             self._store = create_store(locations, backend)
 
     # ---- mapping interface ----

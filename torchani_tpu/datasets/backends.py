@@ -15,7 +15,7 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["Store", "HDF5Store", "ParquetStore", "ZarrStore", "InMemoryStore", "create_store"]
+__all__ = ["Store", "HDF5Store", "ParquetStore", "ZarrStore", "InMemoryStore", "UnionStore", "create_store"]
 
 Conformers = tp.Dict[str, np.ndarray]
 
@@ -274,3 +274,74 @@ def create_store(location, backend: tp.Optional[str] = None, mode: str = "a") ->
     if backend == "zarr":
         return ZarrStore(location, mode)
     raise ValueError(f"Unsupported backend: {backend}")
+
+
+class UnionStore(Store):
+    """A read/write union of several stores, keyed as ``"<store>/<group>"``.
+
+    Reference parity: ``ANIDataset`` accepts multiple file locations and
+    presents them as one dataset with store-prefixed group names
+    (``/root/reference/torchani/datasets/anidataset.py:119-…``).  Mutations
+    route to the owning sub-store; new groups go to the store named in the
+    key (or the first store when the key carries no prefix).
+    """
+
+    def __init__(self, stores: tp.Dict[str, Store]) -> None:
+        if not stores:
+            raise ValueError("UnionStore needs at least one sub-store")
+        self.stores = dict(stores)
+
+    def _split(self, name: str) -> tp.Tuple[Store, str]:
+        if "/" in name:
+            prefix, rest = name.split("/", 1)
+            if prefix in self.stores:
+                return self.stores[prefix], rest
+        return next(iter(self.stores.values())), name
+
+    def keys(self) -> tp.List[str]:
+        return [
+            f"{sname}/{k}" for sname, s in self.stores.items() for k in s.keys()
+        ]
+
+    def get(self, name, properties=None) -> Conformers:
+        store, key = self._split(name)
+        return store.get(key, properties)
+
+    def put(self, name, conformers) -> None:
+        store, key = self._split(name)
+        store.put(key, conformers)
+
+    def append_to(self, name, conformers) -> None:
+        store, key = self._split(name)
+        store.append_to(key, conformers)
+
+    def delete(self, name) -> None:
+        store, key = self._split(name)
+        store.delete(key)
+
+    def properties(self) -> tp.Set[str]:
+        out: tp.Set[str] = set()
+        for s in self.stores.values():
+            out |= s.properties()
+        return out
+
+    def group_sizes(self) -> tp.Dict[str, int]:
+        return {
+            f"{sname}/{k}": v
+            for sname, s in self.stores.items()
+            for k, v in s.group_sizes().items()
+        }
+
+    def get_metadata(self):
+        return next(iter(self.stores.values())).get_metadata()
+
+    def set_metadata(self, meta) -> None:
+        for s in self.stores.values():
+            try:
+                s.set_metadata(meta)
+            except NotImplementedError:
+                pass
+
+    def __contains__(self, name: str) -> bool:
+        store, key = self._split(name)
+        return key in store

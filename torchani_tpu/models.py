@@ -256,3 +256,31 @@ def _select_member(model: ANI, idx: int) -> ANI:
     pots = dict(model.potentials)
     pots["nnp"] = nnp.replace(neural_networks=networks)
     return model.replace(potentials=pots)
+
+
+# ---- custom models (reference models.py:469-482 analog) ----
+def __getattr__(name: str):
+    """Resolve unknown attributes against ``custom_models_dir()``.
+
+    Each ``<Name>/model.py`` under the custom-models dir may define factories;
+    the first directory whose name prefixes ``name`` is imported and searched.
+    """
+    if name.startswith("__"):
+        raise AttributeError(name)
+    import importlib.util
+
+    from torchani_tpu.paths import custom_models_dir
+
+    for p in sorted(custom_models_dir().iterdir()):
+        if p.is_dir() and p.name.startswith(name) and (p / "model.py").is_file():
+            spec = importlib.util.spec_from_file_location(
+                f"torchani_tpu._custom_models.{p.name}", p / "model.py"
+            )
+            assert spec is not None and spec.loader is not None
+            module = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(module)
+            try:
+                return getattr(module, name)
+            except AttributeError:
+                continue
+    raise AttributeError(f"module 'torchani_tpu.models' has no attribute {name!r}")

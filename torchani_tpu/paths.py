@@ -38,3 +38,15 @@ def datasets_dir() -> Path:
     d = data_dir() / "Datasets"
     d.mkdir(parents=True, exist_ok=True)
     return d
+
+
+def custom_models_dir() -> Path:
+    """Directory scanned for user-defined model factories.
+
+    Reference parity (``/root/reference/torchani/models.py:469-482``): each
+    subdirectory ``<Name>/model.py`` defines a factory importable as
+    ``torchani_tpu.models.<Name>``.
+    """
+    d = data_dir() / "CustomModels"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
