@@ -68,7 +68,7 @@ def main() -> None:
 
     md = MolecularDynamics(model, species_np, cell=cell_np, pbc=True)
     state = md.init(coords_np, temperature=300.0)
-    md_iters = 20
+    md_iters = 50
     # warm up with the SAME step count (scan length is part of the compiled
     # program signature)
     state = md.run_nve(state, md_iters)
@@ -92,6 +92,8 @@ def main() -> None:
                     "raw_ef_ms_per_step": round(dt * 1e3, 3),
                     "raw_ef_us_per_atom": round(us_per_atom, 4),
                     "rebuilds_in_window": int(state.rebuilds),
+                    "neighbor_overflow": bool(state.overflow),
+                    "energy_finite": bool(jnp.isfinite(state.energy)),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -1,0 +1,94 @@
+"""Ablation timing of the 10k-atom MD force path on TPU.
+
+Mirrors the MD inner step (cached Verlet topology -> refresh diffs ->
+narrow -> AEV -> NN) and times each stage separately.
+
+    python tools/ablate_md.py [n_molecules]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, x, reps=50):
+    """Time fn by scanning it `reps` times inside ONE jitted program.
+
+    A per-call scalar fetch costs a full tunnel round-trip (~30 ms) in this
+    environment, so per-call timing swamps sub-50ms kernels.  The iteration
+    index perturbs the input to defeat CSE across iterations.
+    """
+
+    def body(i, acc):
+        return acc + jnp.sum(fn(x + i * 1e-7))
+
+    scanned = jax.jit(lambda x0: jax.lax.fori_loop(0, reps, body, 0.0))
+    _ = float(scanned(x))  # compile + warm
+    t0 = time.perf_counter()
+    _ = float(scanned(x))
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def main():
+    import torchani_tpu as tt
+    from torchani_tpu.md import MolecularDynamics, _refresh_neighbors
+    from torchani_tpu.neighbors import narrow_to_cutoff
+    from torchani_tpu.testing import make_water_box
+
+    n_atoms = int(sys.argv[1]) if len(sys.argv) > 1 else 10002
+    species, coords, cell = make_water_box(n_atoms)
+    sp = jnp.asarray(species)
+    model = tt.models.ANI2x(pretrained=False)
+    md = MolecularDynamics(model, sp, cell=jnp.asarray(cell), pbc=True)
+    state = md.init(jnp.asarray(coords))
+    elem = md.elem_idxs
+    c0 = state.coords
+    print(f"atoms={c0.shape[0]} K={state.nbr_idx.shape[1]}", flush=True)
+
+    nnp = model.potentials["nnp"]
+    aevc = nnp.aev_computer
+    networks = nnp.neural_networks
+
+    def refresh_and_narrow(c):
+        nb = _refresh_neighbors(state, c)
+        return narrow_to_cutoff(nb, md.cutoff)
+
+    def batched(nb):
+        return jax.tree.map(
+            lambda x: x[None] if getattr(x, "ndim", 0) > 0 else x, nb
+        )
+
+    # 0) neighbor refresh + narrow only
+    print(f"refresh+narrow   {timeit(lambda c: refresh_and_narrow(c).dist, c0):8.2f} ms", flush=True)
+
+    # 1) AEV forward (incl. refresh)
+    def aev_fn(c):
+        return aevc.compute_from_neighbors(elem, c[None], batched(refresh_and_narrow(c)))
+
+    print(f"aev_fwd          {timeit(aev_fn, c0):8.2f} ms", flush=True)
+    print(f"aev_fwd+bwd      {timeit(jax.grad(lambda c: jnp.sum(aev_fn(c) ** 2)), c0):8.2f} ms", flush=True)
+
+    # 2) NN on fixed AEVs
+    aevs = jax.jit(aev_fn)(c0)
+
+    def nn_fn(a):
+        return jnp.sum(networks(elem, a))
+
+    print(f"nn_fwd           {timeit(nn_fn, aevs):8.2f} ms", flush=True)
+    print(f"nn_fwd+bwd       {timeit(jax.grad(nn_fn), aevs):8.2f} ms", flush=True)
+
+    # 3) full cached-topology force eval (what one MD step pays for forces)
+    def full_fn(c):
+        nb = batched(refresh_and_narrow(c))
+        return jnp.sum(model.compute_from_neighbors(elem, c[None], nb).energies)
+
+    print(f"full e+f cached  {timeit(jax.grad(full_fn), c0):8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

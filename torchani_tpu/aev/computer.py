@@ -234,6 +234,12 @@ class AEVComputer(struct.PyTreeNode):
         cap = self._angular_capacity(neighbors.capacity, a)
         if cap < angular_nbrs.capacity:
             angular_nbrs = repack_to_capacity(angular_nbrs, cap)
+        # Silent truncation would yield plausibly-wrong physics; poison the
+        # output with NaN instead (the TPU-friendly analog of cuAEV's
+        # CUDA_KERNEL_ASSERT overflow guard, reference csrc/aev.cu:181-321).
+        # Raise `angular_capacity` (or neighborlist capacity) to fix.
+        overflow = neighbors.overflow | angular_nbrs.overflow
+        poison = jnp.where(overflow, jnp.float32(jnp.nan), jnp.float32(1.0))
         # flatten molecules: neighbor idx are within-molecule; offset them
         offsets = (jnp.arange(c, dtype=jnp.int32) * a)[:, None, None]
         flat = lambda t, extra=(): t.reshape((c * a,) + t.shape[2:])  # noqa: E731
@@ -252,7 +258,7 @@ class AEVComputer(struct.PyTreeNode):
             overflow=angular_nbrs.overflow,
         )
         aev = self._aev_flat(elem_idxs.reshape(-1), rn, an)
-        return aev.reshape(c, a, self.out_dim)
+        return aev.reshape(c, a, self.out_dim) * poison
 
     def _angular_capacity(self, radial_capacity: int, num_atoms: int) -> int:
         if self.angular_capacity is not None:
@@ -267,13 +273,16 @@ class AEVComputer(struct.PyTreeNode):
             return radial_capacity
         # density-based estimate at the angular cutoff (liquid-water-ish
         # density + safety, like the radial default capacity heuristic);
-        # overflow is detected by the repack and surfaces via the flag
+        # overflow is detected by the repack and surfaces via the flag.
+        # Angular work scales as capacity^2, so the margin is kept tight
+        # (measured: liquid water at 3.5 A has <=23 real neighbors; 15%
+        # safety + ceil4 lands on 28, 6% faster than 32 on v5e).
         import math as _math
 
         est = int(
-            _math.ceil(4.0 / 3.0 * _math.pi * self.angular.cutoff**3 * 0.12 * 1.3)
+            _math.ceil(4.0 / 3.0 * _math.pi * self.angular.cutoff**3 * 0.12 * 1.15)
         )
-        est = max(24, _ceil_to(est, 8))
+        est = max(24, _ceil_to(est, 4))
         return min(est, radial_capacity)
 
     # ---- core ----
@@ -287,6 +296,21 @@ class AEVComputer(struct.PyTreeNode):
         s = self.num_species
         p = self.num_species_pairs
 
+        # Trace-time species specialization: when the element array is a
+        # concrete constant (e.g. the MD driver jit-closes over a fixed
+        # topology), restrict the per-species accumulations to the species
+        # actually present — a water box uses 2 of ANI-2x's 7 species, so
+        # the angular pair accumulation shrinks from S^2 to S_present^2
+        # passes.  Tracers (the normal batched-API path) keep the full set.
+        present: tp.Optional[tp.Tuple[int, ...]] = None
+        if not isinstance(elem_flat, jax.core.Tracer):
+            host_elem = np.asarray(jax.device_get(elem_flat))
+            present = tuple(
+                int(t) for t in np.unique(host_elem) if 0 <= t < s
+            )
+            if len(present) == s:
+                present = None
+
         # --- radial ---
         with jax.named_scope("aev:radial"):
             rmask = radial_nbrs.mask
@@ -297,9 +321,12 @@ class AEVComputer(struct.PyTreeNode):
             )  # (N, K, S); -1 rows are all-zero
             # species accumulation as masked VPU sums (an (R x K x S) matmul
             # is a terrible MXU shape; see the angular path)
+            rfeats = rterms.shape[-1]
             radial_aev = jnp.stack(
                 [
                     jnp.sum(rterms * onehot[:, :, None, t], axis=1)
+                    if (present is None or t in present)
+                    else jnp.zeros((n, rfeats), rterms.dtype)
                     for t in range(s)
                 ],
                 axis=1,
@@ -328,7 +355,7 @@ class AEVComputer(struct.PyTreeNode):
         else:
             angular_aev = _angular_xla(
                 self.angular, s, atom_block, adist, adiff,
-                amask.astype(adist.dtype), aoh,
+                amask.astype(adist.dtype), aoh, present,
             )
         return jnp.concatenate([radial_aev, angular_aev], axis=-1)
 
@@ -388,6 +415,7 @@ def _angular_rows(
     diff: Array,  # (M, Ka, 3)
     maskf: Array,  # (M, Ka) float 0/1
     oh: Array,  # (M, Ka, S), zero rows in masked lanes
+    present: tp.Optional[tp.Tuple[int, ...]] = None,
 ) -> Array:
     """Angular AEV rows, pure XLA (the reference 'pyaev' analog and the
     recompute path for the Pallas custom_vjp backward)."""
@@ -424,15 +452,23 @@ def _angular_rows(
     # Contracted as explicit masked sums (NOT einsum): with S ~ 4-7 and
     # Z ~ 32 these are terrible MXU matmul shapes but trivial VPU
     # reductions that XLA sibling-fuses into single passes over terms.
+    sp = tuple(range(s)) if present is None else present
     w = jnp.stack(
-        [jnp.sum(terms * oh[:, None, :, None, t], axis=2) for t in range(s)],
+        [jnp.sum(terms * oh[:, None, :, None, t], axis=2) for t in sp],
         axis=-1,
-    )  # (M, Ka_j, Z, S)
+    )  # (M, Ka_j, Z, Sp)
     v = jnp.stack(
-        [jnp.sum(w * oh[:, :, None, None, t2], axis=1) for t2 in range(s)],
+        [jnp.sum(w * oh[:, :, None, None, t2], axis=1) for t2 in sp],
         axis=1,
-    )  # (M, S_j, Z, S_k)
-    v = jnp.swapaxes(v, 2, 3)  # (M, S_j, S_k, Z)
+    )  # (M, Sp_j, Z, Sp_k)
+    v = jnp.swapaxes(v, 2, 3)  # (M, Sp_j, Sp_k, Z)
+    if present is not None:
+        # scatter the present-species block back into the full (S, S) grid;
+        # absent slots are exact zeros (their one-hot planes are all-zero)
+        z = v.shape[-1]
+        rows = np.asarray(sp)[:, None]
+        cols = np.asarray(sp)[None, :]
+        v = jnp.zeros((m, s, s, z), v.dtype).at[:, rows, cols].set(v)
     sym = v + jnp.swapaxes(v, 1, 2)
     diag = v[:, jnp.arange(s), jnp.arange(s)]
     packed = sym[:, iu1, iu2, :]
@@ -449,6 +485,7 @@ def _angular_xla(
     diff: Array,
     maskf: Array,
     oh: Array,
+    present: tp.Optional[tp.Tuple[int, ...]] = None,
 ) -> Array:
     """Atom-block-tiled XLA angular path with rematerialization."""
     n = dist.shape[0]
@@ -464,7 +501,7 @@ def _angular_xla(
     nblk = n_pad // blk
     if nblk == 1:
         with jax.named_scope("aev:angular"):
-            out = _angular_rows(angular, num_species, *args)
+            out = _angular_rows(angular, num_species, *args, present=present)
     else:
         # remat: under reverse-mode AD, scan would otherwise stash every
         # block's (blk, Ka, Ka, Z) intermediates for the backward pass —
@@ -474,7 +511,7 @@ def _angular_xla(
         reshape_blk = lambda x: x.reshape((nblk, blk) + x.shape[1:])  # noqa: E731
         out = jax.lax.map(
             jax.checkpoint(
-                lambda a: _angular_rows(angular, num_species, *a)
+                lambda a: _angular_rows(angular, num_species, *a, present=present)
             ),
             tuple(reshape_blk(x) for x in args),
         ).reshape(n_pad, -1)

@@ -38,9 +38,12 @@ def make_water_box(
     """
     n_water = target_atoms // 3
     n_side = int(np.ceil(n_water ** (1 / 3)))
-    volume = n_water / density_molec_per_a3
-    box = volume ** (1 / 3)
-    spacing = box / n_side
+    # spacing from density directly: sizing the box for n_water but filling
+    # an n_side^3 lattice would over-pack partial lattices (2x local density
+    # at 30 molecules), so partial lattices get a slightly larger box with
+    # vacancies instead
+    spacing = (1.0 / density_molec_per_a3) ** (1 / 3)
+    box = n_side * spacing
     rng = np.random.RandomState(seed)
 
     r_oh = 0.9572
