@@ -1,0 +1,77 @@
+"""Atom-sharded MD must match the single-device driver exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import torchani_tpu as tt
+from torchani_tpu.md import MolecularDynamics
+from torchani_tpu.parallel import ShardedMolecularDynamics
+from torchani_tpu.testing import make_water_box
+
+
+@pytest.fixture(scope="module")
+def setup():
+    species, coords, cell = make_water_box(48)
+    model = tt.simple_ani(("H", "C", "N", "O"), ensemble_size=2,
+                          key=jax.random.PRNGKey(0))
+    return model, jnp.asarray(species), jnp.asarray(coords), jnp.asarray(cell)
+
+
+def _mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("atoms",))
+
+
+def test_sharded_forces_match_single_device(setup):
+    model, sp, coords, cell = setup
+    md1 = MolecularDynamics(model, sp, cell=cell, pbc=True)
+    st1 = md1.init(coords)
+    md8 = ShardedMolecularDynamics(model, sp, _mesh(8), cell=cell, pbc=True)
+    st8 = md8.init(coords)
+
+    np.testing.assert_allclose(
+        float(st1.energy), float(st8.energy), rtol=0, atol=2e-5
+    )
+    a = sp.shape[1]
+    np.testing.assert_allclose(
+        np.asarray(st1.forces), np.asarray(st8.forces[:a]), atol=2e-5
+    )
+    # no padding needed when the count divides the mesh evenly
+    assert st8.coords.shape[0] == a
+
+
+def test_sharded_trajectory_matches(setup):
+    model, sp, coords, cell = setup
+    md1 = MolecularDynamics(model, sp, cell=cell, pbc=True, timestep_fs=0.5)
+    md8 = ShardedMolecularDynamics(
+        model, sp, _mesh(8), cell=cell, pbc=True, timestep_fs=0.5
+    )
+    st1 = md1.run_nve(md1.init(coords), 5)
+    st8 = md8.run_nve(md8.init(coords), 5)
+    a = sp.shape[1]
+    np.testing.assert_allclose(
+        np.asarray(st1.coords), np.asarray(st8.coords[:a]), atol=1e-4
+    )
+    np.testing.assert_allclose(float(st1.energy), float(st8.energy), atol=5e-5)
+
+
+def test_sharded_uneven_padding(setup):
+    """49 atoms on 8 devices: pad to 56 with dummies."""
+    model, sp, coords, cell = setup
+    # append one H to make the count not divisible by 8
+    sp49 = jnp.concatenate([sp, jnp.asarray([[1]])], axis=1)
+    c49 = jnp.concatenate(
+        [coords, coords[:, -1:, :] + jnp.asarray([1.5, 0.0, 0.0])], axis=1
+    )
+    md1 = MolecularDynamics(model, sp49, cell=cell, pbc=True)
+    md8 = ShardedMolecularDynamics(model, sp49, _mesh(8), cell=cell, pbc=True)
+    st1, st8 = md1.init(c49), md8.init(c49)
+    assert st8.coords.shape[0] == 56
+    np.testing.assert_allclose(float(st1.energy), float(st8.energy), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(st1.forces), np.asarray(st8.forces[:49]), atol=2e-5
+    )
+    # dummy padding rows feel no force
+    assert np.abs(np.asarray(st8.forces[49:])).max() == 0.0

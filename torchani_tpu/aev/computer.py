@@ -292,7 +292,10 @@ class AEVComputer(struct.PyTreeNode):
         radial_nbrs: Neighbors,  # (N, K)
         angular_nbrs: Neighbors,  # (N, Ka)
     ) -> Array:
-        n = elem_flat.shape[0]
+        # row count from the table, not elem_flat: for sharded (domain-
+        # decomposed) evaluation the tables hold one shard of atom rows while
+        # elem_flat stays global (neighbor idx are global atom indices)
+        n = radial_nbrs.idx.shape[0]
         s = self.num_species
         p = self.num_species_pairs
 

@@ -61,7 +61,11 @@ def maxwell_boltzmann_velocities(
 ) -> Array:
     """Sample velocities (Angstrom/fs) at a temperature (Kelvin)."""
     # v ~ N(0, sqrt(kB T / m)), in (Ha/amu)^(1/2) -> A/fs via sqrt(ACCEL_UNIT)
-    sigma = jnp.sqrt(KB_HARTREE * temperature / masses)[:, None]
+    # dummy atoms carry mass 0; give them zero velocity instead of inf
+    safe_m = jnp.where(masses > 0, masses, 1.0)
+    sigma = jnp.where(
+        masses > 0, jnp.sqrt(KB_HARTREE * temperature / safe_m), 0.0
+    )[:, None]
     v = jax.random.normal(key, masses.shape + (3,)) * sigma
     return v * math.sqrt(ACCEL_UNIT)
 
@@ -118,7 +122,10 @@ class MolecularDynamics:
         self.cutoff = model.cutoff
         self.dt = timestep_fs
         znums = jnp.where(self.species[0] < 0, 0, self.species[0])
-        self.masses = get_atomic_masses(znums)
+        masses = get_atomic_masses(znums)
+        # dummy (-1) padding atoms feel zero force; unit mass keeps the
+        # integrator's 1/m finite so they simply never move
+        self.masses = jnp.where(self.species[0] < 0, 1.0, masses)
         a = self.species.shape[1]
         from torchani_tpu.neighbors import estimate_capacity
 
