@@ -45,6 +45,7 @@ def main():
     sp = jnp.asarray(species)
     model = tt.models.ANI2x(pretrained=False)
     md = MolecularDynamics(model, sp, cell=jnp.asarray(cell), pbc=True)
+    model = md.model  # includes the sorted-lane angular preslice
     state = md.init(jnp.asarray(coords))
     elem = md.elem_idxs
     c0 = state.coords
@@ -65,6 +66,26 @@ def main():
 
     # 0) neighbor refresh + narrow only
     print(f"refresh+narrow   {timeit(lambda c: refresh_and_narrow(c).dist, c0):8.2f} ms", flush=True)
+
+    # 0b) + angular repack (the top_k packing inside the AEV computer)
+    from torchani_tpu.neighbors import repack_to_capacity
+
+    def repack_fn(c):
+        nb = refresh_and_narrow(c)
+        lslice = aevc.angular_preslice
+        if lslice is not None and lslice < nb.idx.shape[-1]:
+            nb = jax.tree.map(
+                lambda x: x[..., :lslice] if getattr(x, "ndim", 0) == 2
+                else (x[..., :lslice, :] if getattr(x, "ndim", 0) == 3 else x),
+                nb,
+            )
+        ang = narrow_to_cutoff(nb, aevc.angular.cutoff)
+        cap = aevc._angular_capacity(state.nbr_idx.shape[-1], c.shape[0])
+        return repack_to_capacity(ang, cap).dist
+
+    print(f"refresh+repack   {timeit(repack_fn, c0):8.2f} ms", flush=True)
+    print(f"refresh f+b      {timeit(jax.grad(lambda c: jnp.sum(refresh_and_narrow(c).dist ** 2)), c0):8.2f} ms", flush=True)
+    print(f"refresh+rep f+b  {timeit(jax.grad(lambda c: jnp.sum(repack_fn(c) ** 2)), c0):8.2f} ms", flush=True)
 
     # 1) AEV forward (incl. refresh)
     def aev_fn(c):

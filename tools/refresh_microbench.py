@@ -1,0 +1,85 @@
+"""Microbenchmark variants of the per-step Verlet refresh coords gather.
+
+The refresh gathers each atom's K neighbor positions: ``coords[idx]`` with
+``idx (A, K)`` over ``coords (A, 3)`` — tiny 12-byte rows, which TPU gathers
+handle poorly.  Tests layout variants to find the fastest formulation.
+
+    python tools/refresh_microbench.py
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, reps=30):
+    def body(i, acc):
+        return acc + jnp.sum(fn(args[0] + i * 1e-7, *args[1:]))
+
+    scanned = jax.jit(
+        lambda *a: jax.lax.fori_loop(0, reps, lambda i, acc: body(i, acc), 0.0)
+    )
+    _ = float(scanned(*args))
+    t0 = time.perf_counter()
+    _ = float(scanned(*args))
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def main():
+    rng = np.random.RandomState(0)
+    a, k = 10002, 136
+    coords = jnp.asarray(rng.randn(a, 3).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, a, (a, k)).astype(np.int32))
+    mask = jnp.asarray(rng.rand(a, k) < 0.8)
+    shift = jnp.asarray(rng.randn(a, k, 3).astype(np.float32))
+
+    def dist_of(nbr_pos, c):
+        diff = nbr_pos - c[:, None, :] + shift
+        diff = jnp.where(mask[..., None], diff, 0.0)
+        d2 = jnp.sum(diff * diff, axis=-1)
+        return jnp.sqrt(jnp.where(mask, d2, 1.0))
+
+    # v0: current — row gather of (A, 3)
+    def v0(c):
+        return dist_of(jnp.take(c, jnp.where(mask, idx, 0), axis=0), c)
+
+    # v1: gather from coords padded to (A, 8) rows
+    def v1(c):
+        c8 = jnp.pad(c, ((0, 0), (0, 5)))
+        g = jnp.take(c8, jnp.where(mask, idx, 0), axis=0)[..., :3]
+        return dist_of(g, c)
+
+    # v2: three 1-D gathers (per component)
+    def v2(c):
+        iw = jnp.where(mask, idx, 0)
+        g = jnp.stack(
+            [jnp.take(c[:, d], iw, axis=0) for d in range(3)], axis=-1
+        )
+        return dist_of(g, c)
+
+    # v3: flat 1-D gather of a (A*8,) padded buffer with computed offsets
+    def v3(c):
+        c8 = jnp.pad(c, ((0, 0), (0, 1))).reshape(-1)  # (A*4,)
+        iw = jnp.where(mask, idx, 0) * 4
+        g = jnp.stack(
+            [jnp.take(c8, iw + d, axis=0) for d in range(3)], axis=-1
+        )
+        return dist_of(g, c)
+
+    for name, fn in [("v0 row(A,3)", v0), ("v1 row(A,8)", v1),
+                     ("v2 3x1d", v2), ("v3 flat4", v3)]:
+        print(f"{name:14s} {timeit(fn, coords):7.2f} ms", flush=True)
+
+    # v0 including gradient (what the force path pays)
+    g0 = jax.jit(jax.grad(lambda c: jnp.sum(v0(c) ** 2)))
+    print(f"v0 fwd+bwd     {timeit(g0, coords):7.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

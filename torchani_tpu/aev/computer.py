@@ -109,6 +109,14 @@ class AEVComputer(struct.PyTreeNode):
     angular_capacity: tp.Optional[int] = struct.field(
         pytree_node=False, default=None
     )
+    # Static prefix length for the angular repack.  ONLY valid when the
+    # caller guarantees neighbor-table lanes are sorted by (build-time)
+    # distance with every angular-range neighbor inside the prefix — the MD
+    # driver's Verlet cache does this (md.py:_build_cache) so the per-step
+    # top_k repack scans ~56 lanes instead of the full radial capacity.
+    angular_preslice: tp.Optional[int] = struct.field(
+        pytree_node=False, default=None
+    )
 
     # ---- dims ----
     @property
@@ -230,7 +238,20 @@ class AEVComputer(struct.PyTreeNode):
         """Compute AEVs from a padded neighbor table."""
         c, a = elem_idxs.shape
         radial_nbrs = narrow_to_cutoff(neighbors, self.radial.cutoff)
-        angular_nbrs = narrow_to_cutoff(neighbors, self.angular.cutoff)
+        angular_src = neighbors
+        lslice = self.angular_preslice
+        if lslice is not None and lslice < neighbors.capacity:
+            angular_src = Neighbors(
+                idx=neighbors.idx[..., :lslice],
+                mask=neighbors.mask[..., :lslice],
+                diff=neighbors.diff[..., :lslice, :],
+                dist=neighbors.dist[..., :lslice],
+                overflow=neighbors.overflow,
+                elem=None
+                if neighbors.elem is None
+                else neighbors.elem[..., :lslice],
+            )
+        angular_nbrs = narrow_to_cutoff(angular_src, self.angular.cutoff)
         cap = self._angular_capacity(neighbors.capacity, a)
         if cap < angular_nbrs.capacity:
             angular_nbrs = repack_to_capacity(angular_nbrs, cap)
@@ -249,6 +270,7 @@ class AEVComputer(struct.PyTreeNode):
             diff=flat(radial_nbrs.diff),
             dist=flat(radial_nbrs.dist),
             overflow=radial_nbrs.overflow,
+            elem=None if radial_nbrs.elem is None else flat(radial_nbrs.elem),
         )
         an = Neighbors(
             idx=flat(angular_nbrs.idx + offsets),
@@ -256,6 +278,7 @@ class AEVComputer(struct.PyTreeNode):
             diff=flat(angular_nbrs.diff),
             dist=flat(angular_nbrs.dist),
             overflow=angular_nbrs.overflow,
+            elem=None if angular_nbrs.elem is None else flat(angular_nbrs.elem),
         )
         aev = self._aev_flat(elem_idxs.reshape(-1), rn, an)
         return aev.reshape(c, a, self.out_dim) * poison
@@ -318,7 +341,7 @@ class AEVComputer(struct.PyTreeNode):
         with jax.named_scope("aev:radial"):
             rmask = radial_nbrs.mask
             rterms = self.radial(radial_nbrs.dist) * rmask[..., None]  # (N, K, R)
-            nbr_elem = jnp.take(elem_flat, radial_nbrs.idx, axis=0)  # (N, K)
+            nbr_elem = radial_nbrs.nbr_elem(elem_flat)  # (N, K)
             onehot = jax.nn.one_hot(
                 jnp.where(rmask, nbr_elem, -1), s, dtype=rterms.dtype
             )  # (N, K, S); -1 rows are all-zero
@@ -339,9 +362,7 @@ class AEVComputer(struct.PyTreeNode):
         amask = angular_nbrs.mask
         adist = jnp.where(amask, angular_nbrs.dist, 1.0)
         adiff = angular_nbrs.diff
-        aelem = jnp.where(
-            amask, jnp.take(elem_flat, angular_nbrs.idx, axis=0), 0
-        )
+        aelem = jnp.where(amask, angular_nbrs.nbr_elem(elem_flat), 0)
         aoh = jax.nn.one_hot(
             jnp.where(amask, aelem, -1), s, dtype=radial_aev.dtype
         )  # (N, Ka, S), zero rows for masked lanes
@@ -411,6 +432,126 @@ class AEVComputer(struct.PyTreeNode):
         )
 
 
+@functools.lru_cache(maxsize=None)
+def _packed_pair_selectors(ka: int) -> tp.Tuple[np.ndarray, np.ndarray, int]:
+    """Static (Ka, Kp) 0/1 gather matrices for the packed j<k pair axis.
+
+    Gathering neighbor-lane quantities onto the pair axis via ``jnp.take``
+    would be a *lane* gather — pathological on TPU (measured: it erases the
+    whole packing win).  A one-hot matmul gather runs on the MXU, is exact
+    (each output column has a single 1), and its transpose — the backward
+    scatter-add — is the same matmul transposed.  Padded pair lanes (beyond
+    the true pair count) have all-zero columns, masking them for free.
+    """
+    pj, pk = np.triu_indices(ka, 1)
+    kp0 = pj.shape[0]
+    kp = max(_ceil_to(kp0, 8), 8)
+    gj = np.zeros((ka, kp), dtype=np.float32)
+    gk = np.zeros((ka, kp), dtype=np.float32)
+    gj[pj, np.arange(kp0)] = 1.0
+    gk[pk, np.arange(kp0)] = 1.0
+    return gj, gk, kp0
+
+
+def _angular_rows_packed(
+    angular: BaseAngular,
+    num_species: int,
+    dist: Array,  # (M, Ka), masked lanes 1.0
+    diff: Array,  # (M, Ka, 3)
+    maskf: Array,  # (M, Ka) float 0/1
+    oh: Array,  # (M, Ka, S), zero rows in masked lanes
+    present: tp.Optional[tp.Tuple[int, ...]] = None,
+) -> Array:
+    """Angular AEV rows over a packed j<k pair axis.
+
+    The grid formulation (`_angular_rows`) computes terms on the full
+    (Ka, Ka) neighbor-pair grid and masks the lower triangle — half the
+    transcendental work is discarded.  Here the strict upper triangle is
+    packed into a flat static-index pair axis (Ka(Ka-1)/2 lanes), halving
+    the dominant per-pair term math; the species-pair accumulation becomes
+    one masked VPU sum per *present* species pair, so this path wins when
+    few species are present (e.g. MD on water: 3 pairs) and loses to the
+    two-sided grid contraction for many-species batches.
+    """
+    m, ka = dist.shape
+    s = num_species
+    gj_np, gk_np, kp0 = _packed_pair_selectors(ka)
+    kp = gj_np.shape[1]
+    gj = jnp.asarray(gj_np)
+    gk = jnp.asarray(gk_np)
+    sp = tuple(range(s)) if present is None else present
+    fast = type(angular) is ANIAngular
+    # One stacked feature tensor per side: every per-neighbor-lane quantity
+    # (distance, diff components, cutoff envelope, per-species one-hots) is
+    # gathered onto the pair axis in a single (M*F, Ka) @ (Ka, Kp) matmul.
+    feats = [dist, diff[:, :, 0], diff[:, :, 1], diff[:, :, 2]]
+    if fast:
+        # The cutoff envelope fc(r) factorizes per neighbor lane: evaluate
+        # it once on the (M, Ka) table (masked lanes get fc=0, masking every
+        # pair that touches them) instead of two transcendental evals per
+        # (much longer) pair lane.
+        feats.append(angular.cutoff_fn(dist, angular.cutoff) * maskf)
+    else:
+        feats.append(maskf)
+    feats.extend(oh[:, :, t] for t in sp)
+    f = len(feats)
+    stacked = jnp.stack(feats, axis=1).reshape(m * f, ka)  # (M*F, Ka)
+    side_j = jnp.dot(stacked, gj, precision=_HIGHEST).reshape(m, f, kp)
+    side_k = jnp.dot(stacked, gk, precision=_HIGHEST).reshape(m, f, kp)
+    dj, dk = side_j[:, 0], side_k[:, 0]
+    dots = jnp.sum(side_j[:, 1:4] * side_k[:, 1:4], axis=1)  # (M, Kp)
+    # padded pair lanes have all-zero selector columns -> dj = dk = 0 there
+    cosang = dots / jnp.clip(dj * dk, min=1e-10)
+    z = angular.num_feats
+    if fast:
+        # Fully transposed term math: every tensor keeps the long pair axis
+        # LAST (the VPU lane dim) and the short feature axes in the middle —
+        # measured ~1.5x faster fwd+bwd than feature-minor layouts at
+        # (Ka=28, Z=32) shapes (tools/layout_microbench.py).
+        envelope = side_j[:, 4] * side_k[:, 4]
+        mean = 0.5 * (dj + dk)
+        shifts = angular.shifts[:, None]  # (Sh, 1)
+        rad_t = jnp.exp(-angular.eta[0] * (mean[:, None, :] - shifts) ** 2)
+        c = 0.95 * cosang
+        sin_t = jnp.sqrt(1.0 - c * c)
+        sections = angular.sections[:, None]  # (Se, 1)
+        cos_dev = (
+            c[:, None, :] * jnp.cos(sections)
+            + sin_t[:, None, :] * jnp.sin(sections)
+        )
+        ang_t = 2 * ((1 + cos_dev) / 2) ** angular.zeta[0]  # (M, Se, Kp)
+        terms = (rad_t[:, :, None, :] * ang_t[:, None, :, :]).reshape(
+            m, z, kp
+        ) * envelope[:, None, :]  # (M, Z, Kp)
+    else:
+        pmaskf = side_j[:, 4] * side_k[:, 4]
+        terms = angular(
+            jnp.where(pmaskf > 0.5, dj, 1.0),
+            jnp.where(pmaskf > 0.5, dk, 1.0),
+            cosang,
+        ) * pmaskf[..., None]  # (M, Kp, Z)
+        terms = jnp.swapaxes(terms, 1, 2)  # (M, Z, Kp)
+    ohj = {t: side_j[:, 5 + i] for i, t in enumerate(sp)}  # (M, Kp) each
+    ohk = {t: side_k[:, 5 + i] for i, t in enumerate(sp)}
+    triu = _triu_index(s)
+    pos: tp.List[int] = []
+    vals: tp.List[Array] = []
+    for i, t1 in enumerate(sp):
+        for t2 in sp[i:]:
+            if t1 == t2:
+                w = ohj[t1] * ohk[t1]
+            else:
+                w = ohj[t1] * ohk[t2] + ohj[t2] * ohk[t1]
+            pos.append(int(triu[t1, t2]))
+            vals.append(jnp.sum(terms * w[:, None, :], axis=2))  # (M, Z)
+    p = s * (s + 1) // 2
+    packed = jnp.zeros((m, p, z), terms.dtype)
+    packed = packed.at[:, np.asarray(pos, dtype=np.int32)].set(
+        jnp.stack(vals, axis=1)
+    )
+    return packed.reshape(m, p * z)
+
+
 def _angular_rows(
     angular: BaseAngular,
     num_species: int,
@@ -422,6 +563,32 @@ def _angular_rows(
 ) -> Array:
     """Angular AEV rows, pure XLA (the reference 'pyaev' analog and the
     recompute path for the Pallas custom_vjp backward)."""
+    s = num_species
+    sp_count = s if present is None else len(present)
+    # Packed-triangle path: halves the per-pair transcendental work but pays
+    # one contraction pass per present species *pair*; wins for few species
+    # (MD on molecular liquids), loses for many-species training batches
+    # where the two-sided grid contraction is O(S) passes instead of O(S^2).
+    if sp_count <= 4 and dist.shape[1] >= 12:
+        return _angular_rows_packed(
+            angular, num_species, dist, diff, maskf, oh, present
+        )
+    return _angular_rows_grid(
+        angular, num_species, dist, diff, maskf, oh, present
+    )
+
+
+def _angular_rows_grid(
+    angular: BaseAngular,
+    num_species: int,
+    dist: Array,  # (M, Ka), masked lanes 1.0
+    diff: Array,  # (M, Ka, 3)
+    maskf: Array,  # (M, Ka) float 0/1
+    oh: Array,  # (M, Ka, S), zero rows in masked lanes
+    present: tp.Optional[tp.Tuple[int, ...]] = None,
+) -> Array:
+    """Grid formulation: full (Ka, Ka) pair grid with a j<k mask, two-sided
+    per-species contraction (O(S) passes)."""
     m, ka = dist.shape
     s = num_species
     iu1, iu2 = np.triu_indices(s)

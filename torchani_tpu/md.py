@@ -49,6 +49,8 @@ class MDState(struct.PyTreeNode):
     nbr_idx: Array  # (A, K)
     nbr_mask: Array  # (A, K)
     nbr_shift: Array  # (A, K, 3) cartesian image shifts
+    nbr_elem: Array  # (A, K) neighbor species (cached: topology-only)
+    nbr_rev: Array  # (A, K) flat index of each lane's partner lane
     ref_coords: Array  # (A, 3) coords at last rebuild
     rebuilds: Array  # () int32
     overflow: Array  # () bool
@@ -77,9 +79,104 @@ def kinetic_temperature(velocities: Array, masses: Array) -> Array:
     return 2 * ke / (dof * KB_HARTREE)
 
 
+@jax.custom_vjp
+def _gather_nbr_pos(coords, idx_safe, rev, mask):
+    """``coords[idx]`` whose backward is a partner-lane *gather*, not a scatter.
+
+    The vjp of a plain neighbor-position gather is a scatter-add of ~A*K tiny
+    cotangent rows into (A, 3) — measured ~2x the cost of the forward gather
+    on TPU (tools/refresh_microbench.py).  Because the full neighbor table is
+    symmetric (every pair appears in both atoms' rows), Newton's third law
+    gives the same result as a structured gather: the cotangent that lane
+    (i, k) scatters to atom q = idx[i,k] is exactly the one atom q can *pull*
+    from its own partner lane.  ``rev[q, k']`` holds the flat (i*K + k)
+    position of row-(q, k')'s partner, computed once per Verlet rebuild.
+    """
+    return jnp.take(coords, idx_safe, axis=0)
+
+
+def _gather_nbr_pos_fwd(coords, idx_safe, rev, mask):
+    return _gather_nbr_pos(coords, idx_safe, rev, mask), (rev, mask)
+
+
+def _gather_nbr_pos_bwd(res, g):
+    rev, mask = res
+    a, k = rev.shape
+    gflat = g.reshape(a * k, 3)
+    partner = jnp.take(gflat, jnp.where(mask, rev, 0), axis=0)  # (A, K, 3)
+    partner = jnp.where(mask[..., None], partner, 0.0)
+    return jnp.sum(partner, axis=1), None, None, None
+
+
+_gather_nbr_pos.defvjp(_gather_nbr_pos_fwd, _gather_nbr_pos_bwd)
+
+
+def _partner_lanes(
+    idx: Array,  # (A, K)
+    mask: Array,  # (A, K)
+    image: Array,  # (A, K) int32 hashed integer image shift
+    neg_image: Array,  # (A, K) hash of the negated shift
+    block: int = 512,
+) -> tp.Tuple[Array, Array]:
+    """Flat partner-lane map: rev[i, k] = j*K + k' with idx[j,k'] == i and
+    opposite image shift.  Returns (rev, all_found)."""
+    a, k = idx.shape
+    idx_safe = jnp.where(mask, idx, 0)
+    pad = (-a) % block
+    rows = jnp.arange(a + pad, dtype=jnp.int32)
+
+    def one_block(args):
+        blk_idx, blk_mask, blk_safe, blk_neg, blk_rows = args
+        cand_idx = jnp.take(idx_safe, blk_safe, axis=0)  # (B, K, K)
+        cand_msk = jnp.take(mask, blk_safe, axis=0)
+        cand_img = jnp.take(image, blk_safe, axis=0)
+        match = (
+            cand_msk
+            & (cand_idx == blk_rows[:, None, None])
+            & (cand_img == blk_neg[:, :, None])
+        )
+        kprime = jnp.argmax(match, axis=2).astype(jnp.int32)  # (B, K)
+        found = jnp.any(match, axis=2)
+        rev = blk_safe * k + kprime
+        return rev, found | ~blk_mask
+
+    def pad0(x, fill):
+        return jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill)
+
+    args = (
+        pad0(idx, 0),
+        pad0(mask, False),
+        pad0(idx_safe, 0),
+        pad0(neg_image, 0),
+        rows,
+    )
+    nblk = (a + pad) // block
+    reshape = lambda x: x.reshape((nblk, block) + x.shape[1:])  # noqa: E731
+    rev, found = jax.lax.map(
+        one_block, tuple(reshape(x) for x in args)
+    )
+    rev = rev.reshape(a + pad, k)[:a]
+    found = found.reshape(a + pad, k)[:a]
+    return rev, jnp.all(found)
+
+
+def _with_angular_preslice(model, prefix: int):
+    """Return a model copy whose AEV computer pre-slices the (sorted) table."""
+    nnp = model.potentials["nnp"]
+    aevc = nnp.aev_computer.replace(angular_preslice=prefix)
+    pots = dict(model.potentials)
+    pots["nnp"] = nnp.replace(aev_computer=aevc)
+    return model.replace(potentials=pots)
+
+
 def _refresh_neighbors(state: MDState, coords: Array) -> Neighbors:
     """Recompute differentiable diff/dist from cached topology."""
-    nbr_pos = jnp.take(coords, jnp.where(state.nbr_mask, state.nbr_idx, 0), axis=0)
+    nbr_pos = _gather_nbr_pos(
+        coords,
+        jnp.where(state.nbr_mask, state.nbr_idx, 0),
+        state.nbr_rev,
+        state.nbr_mask,
+    )
     diff = nbr_pos - coords[:, None, :] + state.nbr_shift
     diff = jnp.where(state.nbr_mask[..., None], diff, 0.0)
     d2 = jnp.sum(diff * diff, axis=-1)
@@ -90,6 +187,7 @@ def _refresh_neighbors(state: MDState, coords: Array) -> Neighbors:
         diff=diff,
         dist=dist,
         overflow=state.overflow,
+        elem=state.nbr_elem,
     )
 
 
@@ -133,6 +231,22 @@ class MolecularDynamics:
             self.cutoff + skin, a, periodic=pbc
         )
         self.bucket_capacity = bucket_capacity
+        # Verlet-cache lanes are distance-sorted at build time, so any lane
+        # that can come within the angular cutoff before the next rebuild
+        # (build-dist <= r_ang + skin, by the same displacement bound as the
+        # skin criterion) lives in a static prefix — the per-step angular
+        # repack then scans ~56 lanes instead of the full radial capacity.
+        # The bound is verified per build (overflow flag) in _build_cache.
+        self._ang_prefix: tp.Optional[int] = None
+        try:
+            aevc = self.model.aev_computer
+            r_ang = float(aevc.angular.cutoff)
+            prefix = estimate_capacity(r_ang + skin, a, periodic=pbc)
+            if prefix < self.capacity:
+                self._ang_prefix = prefix
+                self.model = _with_angular_preslice(self.model, prefix)
+        except (AttributeError, KeyError):
+            pass  # model without a standard nnp/aev stack
         if self.cell is not None:
             self.grid_shape = _static_grid_shape(
                 np.asarray(jax.device_get(self.cell)), self.cutoff + skin
@@ -164,11 +278,43 @@ class MolecularDynamics:
         )
         idx = nbrs.idx[0]
         mask = nbrs.mask[0]
+        dist = nbrs.dist[0]
+        overflow = nbrs.overflow
         # reconstruct cartesian shifts: diff - (x_j - x_i)
         nbr_pos = jnp.take(coords, jnp.where(mask, idx, 0), axis=0)
         shift = nbrs.diff[0] - (nbr_pos - coords[:, None, :])
         shift = jnp.where(mask[..., None], shift, 0.0)
-        return idx, mask, shift, nbrs.overflow
+        if self._ang_prefix is not None:
+            # Sort lanes by build distance (amortized over the Verlet window)
+            # so the angular-range lanes occupy a static prefix; verify the
+            # prefix bound actually holds for this build.
+            k = idx.shape[-1]
+            keys = jnp.where(mask, dist, jnp.inf)
+            _, order = jax.lax.top_k(-keys, k)
+            take = lambda x: jnp.take_along_axis(x, order, axis=1)  # noqa: E731
+            idx, mask = take(idx), take(mask)
+            shift = jnp.take_along_axis(shift, order[..., None], axis=1)
+            r_ang = float(self.model.aev_computer.angular.cutoff)
+            in_reach = jnp.sum(
+                mask & (take(keys) <= r_ang + self.skin), axis=-1
+            )
+            overflow = overflow | jnp.any(in_reach > self._ang_prefix)
+        # cache neighbor species: topology-only, so the per-step force path
+        # skips the (A, K) dynamic species gather entirely
+        nbr_elem = jnp.take(self.elem_idxs[0], jnp.where(mask, idx, 0), axis=0)
+        nbr_elem = jnp.where(mask, nbr_elem, -1)
+        # partner-lane map for the scatter-free force backward: hash each
+        # lane's integer image shift so partners are matched exactly
+        if self.cell is not None:
+            frac = jnp.round(shift @ jnp.linalg.inv(self.cell))
+            n = jnp.clip(frac, -2, 2).astype(jnp.int32)
+        else:
+            n = jnp.zeros(shift.shape, jnp.int32)
+        h = ((n[..., 0] + 2) * 5 + (n[..., 1] + 2)) * 5 + (n[..., 2] + 2)
+        hneg = ((-n[..., 0] + 2) * 5 + (-n[..., 1] + 2)) * 5 + (-n[..., 2] + 2)
+        rev, all_found = _partner_lanes(idx, mask, h, hneg)
+        overflow = overflow | ~all_found
+        return idx, mask, shift, nbr_elem, rev, overflow
 
     def _energy_and_forces(self, state: MDState, coords: Array):
         nbrs = _refresh_neighbors(state, coords)
@@ -203,7 +349,7 @@ class MolecularDynamics:
             velocities = maxwell_boltzmann_velocities(vkey, self.masses, temperature)
         else:
             velocities = jnp.zeros_like(coords)
-        idx, mask, shift, overflow = self._build_cache(coords)
+        idx, mask, shift, nbr_elem, rev, overflow = self._build_cache(coords)
         state = MDState(
             coords=coords,
             velocities=velocities,
@@ -212,6 +358,8 @@ class MolecularDynamics:
             nbr_idx=idx,
             nbr_mask=mask,
             nbr_shift=shift,
+            nbr_elem=nbr_elem,
+            nbr_rev=rev,
             ref_coords=coords,
             rebuilds=jnp.zeros((), jnp.int32),
             overflow=overflow,
@@ -231,11 +379,13 @@ class MolecularDynamics:
         need = jnp.sqrt(top2[0]) + jnp.sqrt(top2[1]) > self.skin
 
         def rebuild(st):
-            idx, mask, shift, overflow = self._build_cache(coords)
+            idx, mask, shift, nbr_elem, rev, overflow = self._build_cache(coords)
             return st.replace(
                 nbr_idx=idx,
                 nbr_mask=mask,
                 nbr_shift=shift,
+                nbr_elem=nbr_elem,
+                nbr_rev=rev,
                 ref_coords=coords,
                 rebuilds=st.rebuilds + 1,
                 overflow=st.overflow | overflow,

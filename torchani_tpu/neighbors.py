@@ -78,10 +78,21 @@ class Neighbors(struct.PyTreeNode):
     diff: Array
     dist: Array
     overflow: Array
+    # Optional cached neighbor species ``(..., A, K)`` (= elem[idx]).  The MD
+    # driver fills this at Verlet-cache build time so the hot force path
+    # avoids a per-step dynamic species gather; when absent, consumers
+    # gather from the element array themselves.
+    elem: tp.Optional[Array] = None
 
     @property
     def capacity(self) -> int:
         return self.idx.shape[-1]
+
+    def nbr_elem(self, elem_flat: Array) -> Array:
+        """Neighbor species table, from the cache or a fresh gather."""
+        if self.elem is not None:
+            return self.elem
+        return jnp.take(elem_flat, self.idx, axis=0)
 
     def count(self) -> Array:
         """Number of real neighbors per atom, shape ``(..., A)``."""
@@ -339,7 +350,7 @@ def narrow_to_cutoff(neighbors: Neighbors, cutoff: float) -> Neighbors:
         mask=mask,
         diff=jnp.where(mask[..., None], neighbors.diff, 0.0),
         dist=jnp.where(mask, neighbors.dist, 1.0),
-    )
+    )  # cached .elem (if any) is kept; consumers mask it themselves
 
 
 def repack_to_capacity(neighbors: Neighbors, capacity: int) -> Neighbors:
@@ -349,20 +360,26 @@ def repack_to_capacity(neighbors: Neighbors, capacity: int) -> Neighbors:
     radial->angular narrowing, 5.2 A -> 3.5 A), which empties most lanes.
     """
     *batch, a, k = neighbors.idx.shape
+    has_elem = neighbors.elem is not None
 
-    def pack_one(idx, mask, diff, dist):
+    def pack_one(idx, mask, diff, dist, elem):
         top, new_mask, overflow = _pack_positions(mask, capacity)
         take = lambda x: jnp.take_along_axis(x, top, axis=1)  # noqa: E731
         new_dist = jnp.where(new_mask, take(dist), 1.0)
         new_diff = jnp.take_along_axis(diff, top[..., None], axis=1)
         new_diff = jnp.where(new_mask[..., None], new_diff, 0.0)
-        return take(idx), new_mask, new_diff, new_dist, overflow
+        new_elem = take(elem) if has_elem else None
+        return take(idx), new_mask, new_diff, new_dist, new_elem, overflow
 
     fn = pack_one
     for _ in batch:
         fn = jax.vmap(fn)
-    idx, mask, diff, dist, overflow = fn(
-        neighbors.idx, neighbors.mask, neighbors.diff, neighbors.dist
+    idx, mask, diff, dist, elem, overflow = fn(
+        neighbors.idx,
+        neighbors.mask,
+        neighbors.diff,
+        neighbors.dist,
+        neighbors.elem if has_elem else neighbors.idx,
     )
     return Neighbors(
         idx=idx,
@@ -370,6 +387,7 @@ def repack_to_capacity(neighbors: Neighbors, capacity: int) -> Neighbors:
         diff=diff,
         dist=dist,
         overflow=neighbors.overflow | jnp.any(overflow),
+        elem=elem if has_elem else None,
     )
 
 

@@ -155,8 +155,18 @@ class AtomicNetworks(struct.PyTreeNode):
         # box then runs 2 of 7 networks.  Traced species fall back to all.
         species_list: tp.List[int] = list(range(self.num_species))
         if not isinstance(elem_idxs, jax.core.Tracer):
-            present = set(np.unique(np.asarray(elem_idxs)).tolist())
+            host_elem = np.asarray(elem_idxs).reshape(-1)
+            present = set(np.unique(host_elem).tolist())
             species_list = [s for s in species_list if s in present]
+            # Static partition: each species' atom rows are known at trace
+            # time, so gather exactly those rows (static indices) and run
+            # that species' MLP at its true (unpadded) layer dims — no
+            # all-atoms x all-species or zero-padded-width waste.  This is
+            # the trace-time specialization of the reference's
+            # nonzero/index_select per-species loop (nn/_containers.py:412).
+            return self._atomic_scalars_static(
+                act, host_elem, x0, species_list
+            ).reshape(c, a, self.out_dim)
         sel = np.asarray(species_list)
         # One species-batched matmul chain per layer (batch dim = species)
         # instead of a sequential per-species loop — better MXU scheduling.
@@ -178,6 +188,29 @@ class AtomicNetworks(struct.PyTreeNode):
             out = jnp.where((elem == s)[:, None], x[i, :, : self.out_dim], out)
         out = jnp.where((elem >= 0)[:, None], out, 0.0)
         return out.reshape(c, a, self.out_dim)
+
+    def _atomic_scalars_static(
+        self,
+        act: tp.Callable[[Array], Array],
+        host_elem: np.ndarray,  # (N,) concrete
+        x0: Array,  # (N, feat)
+        species_list: tp.List[int],
+    ) -> Array:
+        n = host_elem.shape[0]
+        out = jnp.zeros((n, self.out_dim), dtype=x0.dtype)
+        for s in species_list:
+            rows = np.flatnonzero(host_elem == s).astype(np.int32)
+            dims = self.layer_dims[s]
+            x = jnp.take(x0, rows, axis=0)  # static gather (n_s, feat)
+            for li in range(len(self.weights)):
+                w = self.weights[li][s, : dims[li], : dims[li + 1]]
+                x = jnp.dot(x, w, precision=_HIGHEST)
+                if self.biases is not None:
+                    x = x + self.biases[li][s, : dims[li + 1]]
+                if li + 1 < len(self.weights):
+                    x = act(x)
+            out = out.at[rows].set(x)
+        return out
 
     def __call__(
         self,
