@@ -87,6 +87,20 @@ def main():
     print(f"refresh f+b      {timeit(jax.grad(lambda c: jnp.sum(refresh_and_narrow(c).dist ** 2)), c0):8.2f} ms", flush=True)
     print(f"refresh+rep f+b  {timeit(jax.grad(lambda c: jnp.sum(repack_fn(c) ** 2)), c0):8.2f} ms", flush=True)
 
+    # 0c) AEV with a 1-feature angular term: isolates the radial + one-hot +
+    # repack + plumbing cost from the real angular math
+    from torchani_tpu.aev.terms import ANIAngular
+
+    cheap = aevc.replace(
+        angular=ANIAngular.make(12.5, 14.1, [0.8], [0.2], 3.5, "cosine")
+    )
+
+    def aev_cheap_fn(c):
+        return cheap.compute_from_neighbors(elem, c[None], batched(refresh_and_narrow(c)))
+
+    print(f"aev_cheapang f   {timeit(aev_cheap_fn, c0):8.2f} ms", flush=True)
+    print(f"aev_cheapang f+b {timeit(jax.grad(lambda c: jnp.sum(aev_cheap_fn(c) ** 2)), c0):8.2f} ms", flush=True)
+
     # 1) AEV forward (incl. refresh)
     def aev_fn(c):
         return aevc.compute_from_neighbors(elem, c[None], batched(refresh_and_narrow(c)))

@@ -58,21 +58,24 @@ def main():
 
     nblk = n // blk
 
-    def blocked(fn):
+    def blocked(fn, remat=True):
         def run(d, df, mf, o):
             args = tuple(
                 x.reshape((nblk, blk) + x.shape[1:]) for x in (d, df, mf, o)
             )
-            return jax.lax.map(
-                jax.checkpoint(lambda a: fn(ang, s, *a, present=present)),
-                args,
-            ).reshape(n, -1)
+            body = lambda a: fn(ang, s, *a, present=present)  # noqa: E731
+            if remat:
+                body = jax.checkpoint(body)
+            return jax.lax.map(body, args).reshape(n, -1)
 
         return run
 
     for name, fn in [
         ("grid", blocked(_angular_rows_grid)),
         ("packed", blocked(_angular_rows_packed)),
+        ("packed-noremat", blocked(_angular_rows_packed, remat=False)),
+        ("packed-1shot", lambda d, df, mf, o: _angular_rows_packed(
+            ang, s, d, df, mf, o, present=present)),
     ]:
         t_f = timeit(fn, dist, diff, maskf, oh)
         g = jax.jit(
