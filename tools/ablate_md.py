@@ -101,6 +101,28 @@ def main():
     print(f"aev_cheapang f   {timeit(aev_cheap_fn, c0):8.2f} ms", flush=True)
     print(f"aev_cheapang f+b {timeit(jax.grad(lambda c: jnp.sum(aev_cheap_fn(c) ** 2)), c0):8.2f} ms", flush=True)
 
+    # 0d) AEV from a FIXED table, grad wrt the diff vectors (dist recomputed
+    # from diff exactly as refresh does).  Removes the coord gather/scatter
+    # refresh AD from the picture: isolates the AEV-internal backward.
+    nb0 = jax.jit(refresh_and_narrow)(c0)
+
+    def tbl_fn(computer):
+        def fn(diff):
+            d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+            nb = nb0.replace(
+                dist=jnp.where(nb0.mask, d, 1.0),
+                diff=jnp.where(nb0.mask[..., None], diff, 0.0),
+            )
+            return computer.compute_from_neighbors(elem, c0[None], batched(nb))
+
+        return fn
+
+    aev_tbl = tbl_fn(aevc)
+    cheap_tbl = tbl_fn(cheap)
+    print(f"aev_tbl f        {timeit(aev_tbl, nb0.diff):8.2f} ms", flush=True)
+    print(f"aev_tbl f+b      {timeit(jax.grad(lambda d: jnp.sum(aev_tbl(d) ** 2)), nb0.diff):8.2f} ms", flush=True)
+    print(f"aev_tbl_chp f+b  {timeit(jax.grad(lambda d: jnp.sum(cheap_tbl(d) ** 2)), nb0.diff):8.2f} ms", flush=True)
+
     # 1) AEV forward (incl. refresh)
     def aev_fn(c):
         return aevc.compute_from_neighbors(elem, c[None], batched(refresh_and_narrow(c)))

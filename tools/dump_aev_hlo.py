@@ -1,0 +1,63 @@
+"""Dump optimized HLO for the table-path AEV fwd+bwd (see profile_aev.py).
+
+    python tools/dump_aev_hlo.py   # writes /tmp/aev_tbl_hlo.txt
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    import torchani_tpu as tt
+    from torchani_tpu.md import MolecularDynamics, _refresh_neighbors
+    from torchani_tpu.neighbors import narrow_to_cutoff
+    from torchani_tpu.testing import make_water_box
+
+    species, coords, cell = make_water_box(10002)
+    sp = jnp.asarray(species)
+    model = tt.models.ANI2x(pretrained=False)
+    md = MolecularDynamics(model, sp, cell=jnp.asarray(cell), pbc=True)
+    model = md.model
+    state = md.init(jnp.asarray(coords))
+    elem = md.elem_idxs
+    c0 = state.coords
+    aevc = model.potentials["nnp"].aev_computer
+
+    def refresh_and_narrow(c):
+        return narrow_to_cutoff(_refresh_neighbors(state, c), md.cutoff)
+
+    def batched(nb):
+        return jax.tree.map(
+            lambda x: x[None] if getattr(x, "ndim", 0) > 0 else x, nb
+        )
+
+    nb0 = jax.jit(refresh_and_narrow)(c0)
+
+    def aev_tbl(diff):
+        d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+        nb = nb0.replace(
+            dist=jnp.where(nb0.mask, d, 1.0),
+            diff=jnp.where(nb0.mask[..., None], diff, 0.0),
+        )
+        return aevc.compute_from_neighbors(elem, c0[None], batched(nb))
+
+    fn = jax.grad(lambda d: jnp.sum(aev_tbl(d) ** 2))
+    reps = 30
+    scanned = jax.jit(
+        lambda x0: jax.lax.fori_loop(
+            0, reps, lambda i, acc: acc + jnp.sum(fn(x0 + i * 1e-7)), 0.0
+        )
+    )
+    text = scanned.lower(nb0.diff).compile().as_text()
+    out = Path("/tmp/aev_tbl_hlo.txt")
+    out.write_text(text)
+    print("wrote", out, len(text), "chars")
+
+
+if __name__ == "__main__":
+    main()

@@ -358,18 +358,36 @@ def repack_to_capacity(neighbors: Neighbors, capacity: int) -> Neighbors:
 
     Useful after `narrow_to_cutoff` with a much smaller cutoff (e.g. the
     radial->angular narrowing, 5.2 A -> 3.5 A), which empties most lanes.
+
+    The lane permutation is applied as a one-hot contraction, NOT as
+    ``take_along_axis``: per-row lane gathers lower to pathological
+    element-at-a-time code on TPU and their backward is a scatter — profiled
+    at ~25 ms fwd+bwd on the (10002, 56) -> 28 MD angular repack, vs ~2 ms
+    for the contraction.  Each output lane's selector column has exactly one
+    1.0, so values (including exactly-representable int32 payloads) are
+    reproduced bit-exactly, and the backward is the transposed contraction
+    (no scatter).
     """
     *batch, a, k = neighbors.idx.shape
     has_elem = neighbors.elem is not None
 
     def pack_one(idx, mask, diff, dist, elem):
         top, new_mask, overflow = _pack_positions(mask, capacity)
-        take = lambda x: jnp.take_along_axis(x, top, axis=1)  # noqa: E731
-        new_dist = jnp.where(new_mask, take(dist), 1.0)
-        new_diff = jnp.take_along_axis(diff, top[..., None], axis=1)
+        # sel[r, k, c] = 1 iff packed lane c of row r reads source lane k
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (a, k, capacity), 1)
+        sel = (top[:, None, :] == lanes).astype(dist.dtype)
+        pack = lambda x: jnp.sum(  # noqa: E731
+            sel * x[:, :, None].astype(dist.dtype), axis=1
+        )
+        new_dist = jnp.where(new_mask, pack(dist), 1.0)
+        new_diff = jnp.stack(
+            [pack(diff[..., d]) for d in range(diff.shape[-1])], axis=-1
+        )
         new_diff = jnp.where(new_mask[..., None], new_diff, 0.0)
-        new_elem = take(elem) if has_elem else None
-        return take(idx), new_mask, new_diff, new_dist, new_elem, overflow
+        # int payloads (atom index < 2^24, species) are exact in f32
+        pack_i = lambda x: pack(x).astype(x.dtype)  # noqa: E731
+        new_elem = pack_i(elem) if has_elem else None
+        return pack_i(idx), new_mask, new_diff, new_dist, new_elem, overflow
 
     fn = pack_one
     for _ in batch:
