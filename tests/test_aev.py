@@ -144,3 +144,36 @@ def test_compute_from_neighbors_matches_call(goldens):
     nbrs = all_pairs(aevc.radial.cutoff, elem, coords)
     via = aevc.compute_from_neighbors(elem, coords, nbrs)
     np.testing.assert_allclose(np.asarray(direct), np.asarray(via), atol=1e-6)
+
+
+def test_species_specialization_under_jit(goldens):
+    """The present-species fast path must fire for a jit-closed-over element
+    constant and match the traced (all-species) path exactly.
+
+    Regression: under an active jit trace even `reshape` on a concrete array
+    returns a tracer, so deciding the specialization after the reshape
+    silently fell back to the all-species grid path in every jitted caller
+    (the MD driver paid the full 7-species angular contraction).
+    """
+    aevc = tt.AEVComputer.like_2x()
+    elem = jnp.asarray(goldens["aev2x_elem"])
+    coords = jnp.asarray(goldens["coords"])
+
+    # sanity: the specialization is detected on the concrete array
+    present = aevc._present_species(elem)
+    assert present is not None and 0 < len(present) < aevc.num_species
+
+    spec = jax.jit(lambda c: aevc(elem, c))(coords)  # elem closed over
+    traced = jax.jit(lambda e, c: aevc(e, c))(elem, coords)  # elem traced
+    np.testing.assert_allclose(
+        np.asarray(spec), np.asarray(traced), atol=1e-6, rtol=1e-6
+    )
+
+    # gradients agree too (packed-pair vs grid backward)
+    g_spec = jax.jit(jax.grad(lambda c: jnp.sum(aevc(elem, c) ** 2)))(coords)
+    g_traced = jax.jit(
+        jax.grad(lambda e, c: jnp.sum(aevc(e, c) ** 2), argnums=1)
+    )(elem, coords)
+    np.testing.assert_allclose(
+        np.asarray(g_spec), np.asarray(g_traced), atol=1e-5, rtol=1e-5
+    )

@@ -1,6 +1,6 @@
-"""Dump optimized HLO for the table-path AEV fwd+bwd (see profile_aev.py).
+"""Dump optimized HLO for the AEV fwd+bwd programs (see profile_aev.py).
 
-    python tools/dump_aev_hlo.py   # writes /tmp/aev_tbl_hlo.txt
+    python tools/dump_aev_hlo.py [tbl|full]   # writes /tmp/aev_<mode>_hlo.txt
 """
 
 import sys
@@ -46,15 +46,26 @@ def main():
         )
         return aevc.compute_from_neighbors(elem, c0[None], batched(nb))
 
-    fn = jax.grad(lambda d: jnp.sum(aev_tbl(d) ** 2))
+    mode = sys.argv[1] if len(sys.argv) > 1 else "tbl"
+    if mode == "full":
+        def aev_full(c):
+            return aevc.compute_from_neighbors(
+                elem, c[None], batched(refresh_and_narrow(c))
+            )
+
+        fn = jax.grad(lambda c: jnp.sum(aev_full(c) ** 2))
+        x = c0
+    else:
+        fn = jax.grad(lambda d: jnp.sum(aev_tbl(d) ** 2))
+        x = nb0.diff
     reps = 30
     scanned = jax.jit(
         lambda x0: jax.lax.fori_loop(
             0, reps, lambda i, acc: acc + jnp.sum(fn(x0 + i * 1e-7)), 0.0
         )
     )
-    text = scanned.lower(nb0.diff).compile().as_text()
-    out = Path("/tmp/aev_tbl_hlo.txt")
+    text = scanned.lower(x).compile().as_text()
+    out = Path(f"/tmp/aev_{mode}_hlo.txt")
     out.write_text(text)
     print("wrote", out, len(text), "chars")
 

@@ -237,6 +237,12 @@ class AEVComputer(struct.PyTreeNode):
     ) -> Array:
         """Compute AEVs from a padded neighbor table."""
         c, a = elem_idxs.shape
+        # Trace-time species specialization must be decided HERE, while
+        # `elem_idxs` can still be a concrete (closed-over) array: under an
+        # active jit trace even `reshape` on a constant returns a tracer, so
+        # deciding inside `_aev_flat` (post-reshape) silently fell back to
+        # the all-species grid path in every jitted caller.
+        present = self._present_species(elem_idxs)
         radial_nbrs = narrow_to_cutoff(neighbors, self.radial.cutoff)
         angular_src = neighbors
         lslice = self.angular_preslice
@@ -280,8 +286,18 @@ class AEVComputer(struct.PyTreeNode):
             overflow=angular_nbrs.overflow,
             elem=None if angular_nbrs.elem is None else flat(angular_nbrs.elem),
         )
-        aev = self._aev_flat(elem_idxs.reshape(-1), rn, an)
+        aev = self._aev_flat(elem_idxs.reshape(-1), rn, an, present=present)
         return aev.reshape(c, a, self.out_dim) * poison
+
+    def _present_species(self, elem: Array) -> tp.Optional[tp.Tuple[int, ...]]:
+        """Species present in a concrete element array (None if traced/all)."""
+        if isinstance(elem, jax.core.Tracer):
+            return None
+        host_elem = np.asarray(jax.device_get(elem))
+        present = tuple(
+            int(t) for t in np.unique(host_elem) if 0 <= t < self.num_species
+        )
+        return None if len(present) == self.num_species else present
 
     def _angular_capacity(self, radial_capacity: int, num_atoms: int) -> int:
         if self.angular_capacity is not None:
@@ -314,6 +330,7 @@ class AEVComputer(struct.PyTreeNode):
         elem_flat: Array,  # (N,)
         radial_nbrs: Neighbors,  # (N, K)
         angular_nbrs: Neighbors,  # (N, Ka)
+        present: tp.Optional[tp.Tuple[int, ...]] = None,
     ) -> Array:
         # row count from the table, not elem_flat: for sharded (domain-
         # decomposed) evaluation the tables hold one shard of atom rows while
@@ -327,15 +344,12 @@ class AEVComputer(struct.PyTreeNode):
         # topology), restrict the per-species accumulations to the species
         # actually present — a water box uses 2 of ANI-2x's 7 species, so
         # the angular pair accumulation shrinks from S^2 to S_present^2
-        # passes.  Tracers (the normal batched-API path) keep the full set.
-        present: tp.Optional[tp.Tuple[int, ...]] = None
-        if not isinstance(elem_flat, jax.core.Tracer):
-            host_elem = np.asarray(jax.device_get(elem_flat))
-            present = tuple(
-                int(t) for t in np.unique(host_elem) if 0 <= t < s
-            )
-            if len(present) == s:
-                present = None
+        # passes.  Traced element arrays (the normal batched-API path) keep
+        # the full set.  Callers with a concrete (C, A) element array pass
+        # `present` explicitly (see `_present_species`): by the time this
+        # runs, `elem_flat` has gone through a traced `reshape`.
+        if present is None:
+            present = self._present_species(elem_flat)
 
         # --- radial ---
         with jax.named_scope("aev:radial"):
