@@ -89,3 +89,28 @@ def test_species_converter_validates():
         assert False, "should have raised"
     except ValueError as e:
         assert "79" in str(e)
+
+
+def test_precision_knob_plumbs_through():
+    """`precision` survives member extraction / ensemble stacking and maps
+    to a lax.Precision (values identical on CPU, where precision is a
+    no-op; the TPU speed/accuracy tradeoff is tools/nn_precision_bench.py)."""
+    import jax
+
+    net = AtomicNetworks.from_layer_dims(
+        ("H", "O"), ((16, 8, 1), (16, 8, 1)), key=jax.random.PRNGKey(0)
+    )
+    assert net.precision == "highest"
+    fast = net.replace(precision="high")
+    assert fast._matmul_precision == jax.lax.Precision.HIGH
+    ens = Ensemble.from_members([fast, fast])
+    assert ens.precision == "high"
+    assert ens.member(0).precision == "high"
+
+    elem = jnp.asarray([[0, 1, -1]])
+    aevs = jnp.asarray(np.random.RandomState(0).randn(1, 3, 16), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(ens(elem, aevs)),
+        np.asarray(ens.replace(precision="highest")(elem, aevs)),
+        rtol=1e-6,
+    )

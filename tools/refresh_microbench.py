@@ -80,6 +80,64 @@ def main():
     g0 = jax.jit(jax.grad(lambda c: jnp.sum(v0(c) ** 2)))
     print(f"v0 fwd+bwd     {timeit(g0, coords):7.2f} ms", flush=True)
 
+    # ---- partner-lane backward gather variants ----
+    # The backward pulls (A*K) rows from the (A*K, 3) cotangent table —
+    # profiled at ~4x the per-row cost of the forward's (A, 3)-source
+    # gather.  Hypothesis: source size (16 MB vs 120 KB) dominates gather
+    # throughput.  v5 exploits partner locality (partners of rows in an
+    # atom block live within +-W rows for spatially-ordered atoms): gather
+    # from a dynamic-sliced window instead of the whole table.
+    w_atoms = 768
+    rev_np = (
+        (np.arange(a)[:, None] + rng.randint(-w_atoms, w_atoms, (a, k))) % a
+    ) * k + rng.randint(0, k, (a, k))
+    rev = jnp.asarray(rev_np.astype(np.int32))
+    g = jnp.asarray(rng.randn(a * k, 3).astype(np.float32))
+
+    def v4(g):
+        partner = jnp.take(g, jnp.where(mask, rev, 0), axis=0)
+        return jnp.sum(jnp.where(mask[..., None], partner, 0.0), axis=1)
+
+    blk = 512
+    a_pad = -(-a // blk) * blk
+    nblk = a_pad // blk
+
+    def v5(g):
+        ext = jnp.concatenate([g[(a - w_atoms) * k:], g, g[: w_atoms * k]])
+        win = (blk + 2 * w_atoms) * k
+        pad2 = lambda x, f: jnp.pad(  # noqa: E731
+            x, ((0, a_pad - a), (0, 0)), constant_values=f
+        )
+        rev_p = pad2(rev, 0)
+        mask_p = pad2(mask, False)
+
+        def one(carry, args):
+            b, rev_b, mask_b = args
+            # last (padded) block's window would run past ext; clamp the
+            # base row (the local index is computed against the same base)
+            base = jnp.minimum(b * blk, a - blk)
+            window = jax.lax.dynamic_slice(ext, (base * k, 0), (win, 3))
+            local = (rev_b - (base - w_atoms) * k) % (a * k)
+            part = jnp.take(window, jnp.where(mask_b, local, 0), axis=0)
+            out = jnp.sum(jnp.where(mask_b[..., None], part, 0.0), axis=1)
+            return carry, out
+
+        _, outs = jax.lax.scan(
+            one,
+            0,
+            (
+                jnp.arange(nblk, dtype=jnp.int32),
+                rev_p.reshape(nblk, blk, k),
+                mask_p.reshape(nblk, blk, k),
+            ),
+        )
+        return outs.reshape(a_pad, 3)[:a]
+
+    print(f"v4 partner16MB {timeit(v4, g):7.2f} ms", flush=True)
+    print(f"v5 windowed    {timeit(v5, g):7.2f} ms", flush=True)
+    print("v4 vs v5 max diff:",
+          float(jnp.max(jnp.abs(v4(g) - v5(g)))), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -56,6 +56,13 @@ class MDState(struct.PyTreeNode):
     overflow: Array  # () bool
     key: Array  # PRNG key (for thermostats)
     step: Array  # () int32
+    # Static species-sort permutation: the neighbor cache (and every table
+    # derived from it) lives in species-sorted "internal" atom order, so the
+    # NN's per-species row selections are contiguous slices instead of
+    # strided gathers.  `coords`/`velocities`/`forces` stay in USER order;
+    # `_refresh_neighbors` applies the permutation on entry and autodiff
+    # routes forces back through it.  None = user order is already sorted.
+    nbr_perm: tp.Optional[Array] = None
 
 
 def maxwell_boltzmann_velocities(
@@ -169,8 +176,26 @@ def _with_angular_preslice(model, prefix: int):
     return model.replace(potentials=pots)
 
 
+def _with_nn_precision(model, precision: str):
+    """Return a model copy with the NN matmul precision set (if applicable)."""
+    nnp = model.potentials["nnp"]
+    nets = nnp.neural_networks
+    if not hasattr(nets, "precision") or nets.precision == precision:
+        return model
+    pots = dict(model.potentials)
+    pots["nnp"] = nnp.replace(neural_networks=nets.replace(precision=precision))
+    return model.replace(potentials=pots)
+
+
 def _refresh_neighbors(state: MDState, coords: Array) -> Neighbors:
-    """Recompute differentiable diff/dist from cached topology."""
+    """Recompute differentiable diff/dist from cached topology.
+
+    ``coords`` is in user order; the cached topology is in species-sorted
+    internal order (see ``MDState.nbr_perm``), so the produced tables are
+    internal-order rows matching the driver's (sorted) ``elem_idxs``.
+    """
+    if state.nbr_perm is not None:
+        coords = jnp.take(coords, state.nbr_perm, axis=0)
     nbr_pos = _gather_nbr_pos(
         coords,
         jnp.where(state.nbr_mask, state.nbr_idx, 0),
@@ -210,10 +235,34 @@ class MolecularDynamics:
         capacity: tp.Optional[int] = None,
         bucket_capacity: tp.Optional[int] = None,
         timestep_fs: float = 1.0,
+        nn_precision: str = "high",
     ) -> None:
+        # MD defaults the NN matmuls to "high" (3 bf16 MXU passes): max
+        # relative force error ~3e-5 vs "highest" — far below thermal noise
+        # and inside the reference's own 5e-4 infer-path tolerance
+        # (tools/nn_precision_bench.py) — for ~2x faster NN evaluation.
+        # Pass nn_precision="highest" for strict f32 parity.
+        try:
+            model = _with_nn_precision(model, nn_precision)
+        except (AttributeError, KeyError):
+            pass  # model without a standard nnp stack
         self.model = model
         self.species = jnp.asarray(species)
         self.elem_idxs = model.species_converter(self.species)
+        # Species-sort the internal atom order (stable, so spatial locality
+        # within a species block is kept): per-species NN row selections
+        # become contiguous slices.  `elem_idxs` is INTERNAL order from here
+        # on; user-facing arrays (coords/velocities/forces/masses) stay in
+        # user order and `_refresh_neighbors`/`_build_cache` permute on entry.
+        host_elem = np.asarray(jax.device_get(self.elem_idxs[0]))
+        order = np.argsort(host_elem, kind="stable")
+        if (order == np.arange(order.shape[0])).all():
+            self._species_perm: tp.Optional[np.ndarray] = None
+        else:
+            self._species_perm = order.astype(np.int32)
+            self.elem_idxs = jnp.asarray(
+                np.asarray(jax.device_get(self.elem_idxs))[:, order]
+            )
         self.cell = None if cell is None else jnp.asarray(cell)
         self.pbc = jnp.asarray([True, True, True]) if pbc else None
         self.skin = skin
@@ -264,8 +313,14 @@ class MolecularDynamics:
             cell = np.diag(np.maximum(span, self.cutoff + self.skin))
             self.grid_shape = _static_grid_shape(cell, self.cutoff + self.skin)
 
+    def _to_internal(self, coords: Array) -> Array:
+        if self._species_perm is None:
+            return coords
+        return jnp.take(coords, jnp.asarray(self._species_perm), axis=0)
+
     # ---- neighbor (re)builds ----
     def _build_cache(self, coords: Array):
+        coords = self._to_internal(coords)
         nbrs = cell_list(
             self.cutoff + self.skin,
             self.elem_idxs,
@@ -324,7 +379,7 @@ class MolecularDynamics:
             nb = _refresh_neighbors(state, c)
             nb = narrow_to_cutoff(nb, self.cutoff)
             out = self.model.compute_from_neighbors(
-                self.elem_idxs, c[None], jax.tree.map(
+                self.elem_idxs, self._to_internal(c)[None], jax.tree.map(
                     lambda x: x[None] if getattr(x, "ndim", 0) > 0 else x, nb
                 )
             )
@@ -365,6 +420,9 @@ class MolecularDynamics:
             overflow=overflow,
             key=key,
             step=jnp.zeros((), jnp.int32),
+            nbr_perm=None
+            if self._species_perm is None
+            else jnp.asarray(self._species_perm),
         )
         e, f = self._energy_and_forces(state, coords)
         return state.replace(energy=e, forces=f)

@@ -117,10 +117,20 @@ class AtomicNetworks(struct.PyTreeNode):
     layer_dims: tp.Tuple[tp.Tuple[int, ...], ...] = struct.field(pytree_node=False)
     symbols: Symbols = struct.field(pytree_node=False)
     activation: str = struct.field(pytree_node=False, default="celu")
+    #: TPU matmul precision: "highest" (6 bf16 MXU passes, strict f32
+    #: parity — the default, honoring the reference's TF32 ban at
+    #: reference __init__.py:96-113), or "high" (3 passes, ~2x faster,
+    #: max relative force error ~3e-5 on ANI-2x — far inside the
+    #: reference's own 5e-4 infer-path tolerance).  Ignored on CPU.
+    precision: str = struct.field(pytree_node=False, default="highest")
 
     @property
     def num_species(self) -> int:
         return len(self.symbols)
+
+    @property
+    def _matmul_precision(self) -> jax.lax.Precision:
+        return getattr(jax.lax.Precision, self.precision.upper())
 
     @property
     def out_dim(self) -> int:
@@ -171,14 +181,14 @@ class AtomicNetworks(struct.PyTreeNode):
         # One species-batched matmul chain per layer (batch dim = species)
         # instead of a sequential per-species loop — better MXU scheduling.
         x = jnp.einsum(
-            "nf,sfo->sno", x0, self.weights[0][sel], precision=_HIGHEST
+            "nf,sfo->sno", x0, self.weights[0][sel], precision=self._matmul_precision
         )
         if self.biases is not None:
             x = x + self.biases[0][sel][:, None, :]
         for li in range(1, num_layers):
             x = act(x)
             x = jnp.einsum(
-                "snf,sfo->sno", x, self.weights[li][sel], precision=_HIGHEST
+                "snf,sfo->sno", x, self.weights[li][sel], precision=self._matmul_precision
             )
             if self.biases is not None:
                 x = x + self.biases[li][sel][:, None, :]
@@ -201,15 +211,29 @@ class AtomicNetworks(struct.PyTreeNode):
         for s in species_list:
             rows = np.flatnonzero(host_elem == s).astype(np.int32)
             dims = self.layer_dims[s]
-            x = jnp.take(x0, rows, axis=0)  # static gather (n_s, feat)
+            # species-sorted atoms (the MD driver's internal order) make
+            # each species' rows a contiguous block: use true slices, not
+            # static gathers/scatters
+            contiguous = rows.size > 0 and (
+                int(rows[-1]) - int(rows[0]) + 1 == rows.size
+            )
+            if contiguous:
+                x = jax.lax.slice_in_dim(x0, int(rows[0]), int(rows[-1]) + 1)
+            else:
+                x = jnp.take(x0, rows, axis=0)  # static gather (n_s, feat)
             for li in range(len(self.weights)):
                 w = self.weights[li][s, : dims[li], : dims[li + 1]]
-                x = jnp.dot(x, w, precision=_HIGHEST)
+                x = jnp.dot(x, w, precision=self._matmul_precision)
                 if self.biases is not None:
                     x = x + self.biases[li][s, : dims[li + 1]]
                 if li + 1 < len(self.weights):
                     x = act(x)
-            out = out.at[rows].set(x)
+            if contiguous:
+                out = jax.lax.dynamic_update_slice_in_dim(
+                    out, x, int(rows[0]), axis=0
+                )
+            else:
+                out = out.at[rows].set(x)
         return out
 
     def __call__(
@@ -385,6 +409,8 @@ class Ensemble(struct.PyTreeNode):
     active_members: tp.Optional[tp.Tuple[int, ...]] = struct.field(
         pytree_node=False, default=None
     )
+    #: see `AtomicNetworks.precision`
+    precision: str = struct.field(pytree_node=False, default="highest")
 
     @property
     def num_species(self) -> int:
@@ -427,6 +453,7 @@ class Ensemble(struct.PyTreeNode):
             layer_dims=self.layer_dims,
             symbols=self.symbols,
             activation=self.activation,
+            precision=self.precision,
         )
 
     def _active(self) -> tp.Tuple[tp.Tuple[Array, ...], tp.Optional[tp.Tuple[Array, ...]]]:
@@ -448,6 +475,7 @@ class Ensemble(struct.PyTreeNode):
                 layer_dims=self.layer_dims,
                 symbols=self.symbols,
                 activation=self.activation,
+                precision=self.precision,
             )
             return net.atomic_scalars(elem_idxs, aevs)
 
@@ -493,6 +521,7 @@ class Ensemble(struct.PyTreeNode):
             layer_dims=first.layer_dims,
             symbols=first.symbols,
             activation=first.activation,
+            precision=first.precision,
         )
 
 

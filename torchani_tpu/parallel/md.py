@@ -101,6 +101,7 @@ class ShardedMolecularDynamics(MolecularDynamics):
 
         def energy(c):
             nb = narrow_to_cutoff(_refresh_neighbors(state, c), self.cutoff)
+            cs = self._to_internal(c)
 
             # --- replicated cheap terms ---
             e_total = jnp.asarray(0.0, jnp.float32)
@@ -114,7 +115,7 @@ class ShardedMolecularDynamics(MolecularDynamics):
                 if not math.isinf(pot.cutoff) and pot.cutoff < self.cutoff:
                     nbp = narrow_to_cutoff(nb, pot.cutoff)
                 e_total = e_total + jnp.sum(
-                    pot.compute_from_neighbors(elem, c[None], batched(nbp)).energies
+                    pot.compute_from_neighbors(elem, cs[None], batched(nbp)).energies
                 )
             if model.energy_shifter is not None and model.energy_shifter.enabled:
                 e_total = e_total + jnp.sum(model.energy_shifter(elem))
