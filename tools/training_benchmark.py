@@ -66,14 +66,23 @@ def main():
         model, optax.adamw(1e-3), force_training=args.force_training
     )
     state = init_fn()
-    step_jit = jax.jit(step_fn)
-    state, metrics = step_jit(state, batch)
-    _ = float(metrics["loss"])  # compile + sync
 
+    # Time `iters` optimizer steps inside ONE device program: a per-step
+    # loss fetch costs a ~30 ms tunnel round-trip here, which contaminates
+    # per-call timing (see CLAUDE.md measurement rules).
+    @jax.jit
+    def chunk(state):
+        def body(st, _):
+            st, metrics = step_fn(st, batch)
+            return st, metrics["loss"]
+
+        return jax.lax.scan(body, state, None, length=args.iters)
+
+    st2, losses = chunk(state)
+    _ = float(losses[-1])  # compile + sync
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        state, metrics = step_jit(state, batch)
-        _ = float(metrics["loss"])
+    st2, losses = chunk(state)
+    _ = float(losses[-1])
     dt = (time.perf_counter() - t0) / args.iters
     samples_s = args.batch_size / dt
     print(
