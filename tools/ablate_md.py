@@ -146,6 +146,14 @@ def main():
 
     print(f"full e+f cached  {timeit(jax.grad(full_fn), c0):8.2f} ms", flush=True)
 
+    # 4) Verlet cache rebuild (cell list + lane sort + partner map); amortized
+    # over the rebuild interval in MD (bench reports rebuilds_in_window)
+    def build_fn(c):
+        idx, mask, shift, nbr_elem, rev, overflow = md._build_cache(c)
+        return shift.sum() + (idx + nbr_elem + rev).sum() + mask.sum()
+
+    print(f"cache rebuild    {timeit(build_fn, c0, reps=10):8.2f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()

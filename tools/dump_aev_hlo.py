@@ -47,6 +47,22 @@ def main():
         return aevc.compute_from_neighbors(elem, c0[None], batched(nb))
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "tbl"
+    if mode == "build":
+        def build_fn(c):
+            idx, mask, shift, nbr_elem, rev, overflow = md._build_cache(c)
+            return shift.sum() + (idx + nbr_elem + rev).sum() + mask.sum()
+
+        reps = 10
+        scanned = jax.jit(
+            lambda x0: jax.lax.fori_loop(
+                0, reps, lambda i, acc: acc + build_fn(x0 + i * 1e-7), 0.0
+            )
+        )
+        text = scanned.lower(c0).compile().as_text()
+        out = Path("/tmp/aev_build_hlo.txt")
+        out.write_text(text)
+        print("wrote", out, len(text), "chars")
+        return
     if mode == "full":
         def aev_full(c):
             return aevc.compute_from_neighbors(

@@ -263,6 +263,19 @@ class MolecularDynamics:
             self.elem_idxs = jnp.asarray(
                 np.asarray(jax.device_get(self.elem_idxs))[:, order]
             )
+            host_elem = host_elem[order]
+        # the internal element array is sorted: species-of-atom-index is a
+        # step function, recorded statically for the nbr_elem fast path
+        # (must be derived HERE — any op on `self.elem_idxs` inside the
+        # traced `_build_cache` returns a tracer)
+        if host_elem.size > 1 and np.all(np.diff(host_elem) >= 0):
+            vals, starts = np.unique(host_elem, return_index=True)
+            self._elem_steps: tp.Optional[tp.Tuple] = (
+                tuple(int(v) for v in vals),
+                tuple(int(s) for s in starts),
+            )
+        else:
+            self._elem_steps = None
         self.cell = None if cell is None else jnp.asarray(cell)
         self.pbc = jnp.asarray([True, True, True]) if pbc else None
         self.skin = skin
@@ -318,6 +331,20 @@ class MolecularDynamics:
             return coords
         return jnp.take(coords, jnp.asarray(self._species_perm), axis=0)
 
+    def _build_cache_jit(self, coords: Array):
+        """Jitted `_build_cache` for the eager entry points (`init`).
+
+        Eager execution would dispatch the build op-by-op on device (slow
+        over the tunnel) and *materialize* the pack contraction's
+        (A, 27*B, K) selector, which only exists virtually inside a fused
+        XLA reduction (several GB if materialized).
+        """
+        fn = getattr(self, "_build_jit", None)
+        if fn is None:
+            fn = jax.jit(self._build_cache)
+            self._build_jit = fn
+        return fn(coords)
+
     # ---- neighbor (re)builds ----
     def _build_cache(self, coords: Array):
         coords = self._to_internal(coords)
@@ -342,21 +369,38 @@ class MolecularDynamics:
         if self._ang_prefix is not None:
             # Sort lanes by build distance (amortized over the Verlet window)
             # so the angular-range lanes occupy a static prefix; verify the
-            # prefix bound actually holds for this build.
+            # prefix bound actually holds for this build.  The permutation is
+            # applied as a one-hot contraction (`lane_permute`): per-row
+            # take_along_axis lane gathers are pathological on TPU.
+            from torchani_tpu.neighbors import lane_permute
+
             k = idx.shape[-1]
             keys = jnp.where(mask, dist, jnp.inf)
             _, order = jax.lax.top_k(-keys, k)
-            take = lambda x: jnp.take_along_axis(x, order, axis=1)  # noqa: E731
-            idx, mask = take(idx), take(mask)
-            shift = jnp.take_along_axis(shift, order[..., None], axis=1)
+            # finite sentinel for masked lanes: the contraction multiplies
+            # masked-out lanes by 0.0, and 0 * inf would poison the sums
+            idx, mask, shift, skeys = lane_permute(
+                (idx, mask, shift, jnp.where(mask, dist, 1e30)), order
+            )
             r_ang = float(self.model.aev_computer.angular.cutoff)
             in_reach = jnp.sum(
-                mask & (take(keys) <= r_ang + self.skin), axis=-1
+                mask & (skeys <= r_ang + self.skin), axis=-1
             )
             overflow = overflow | jnp.any(in_reach > self._ang_prefix)
         # cache neighbor species: topology-only, so the per-step force path
-        # skips the (A, K) dynamic species gather entirely
-        nbr_elem = jnp.take(self.elem_idxs[0], jnp.where(mask, idx, 0), axis=0)
+        # skips the (A, K) dynamic species gather entirely.  With the
+        # species-sorted internal order, species-of-atom-index is a step
+        # function (static table from __init__): a few (A, K) compares
+        # replace a 1.36M-element gather (9.7 ms of the rebuild at 10k).
+        if self._elem_steps is not None:
+            vals, starts = self._elem_steps
+            nbr_elem = jnp.full(idx.shape, vals[0], jnp.int32)
+            for v, s in zip(vals[1:], starts[1:]):
+                nbr_elem = jnp.where(idx >= s, v, nbr_elem)
+        else:
+            nbr_elem = jnp.take(
+                self.elem_idxs[0], jnp.where(mask, idx, 0), axis=0
+            )
         nbr_elem = jnp.where(mask, nbr_elem, -1)
         # partner-lane map for the scatter-free force backward: hash each
         # lane's integer image shift so partners are matched exactly
@@ -404,7 +448,7 @@ class MolecularDynamics:
             velocities = maxwell_boltzmann_velocities(vkey, self.masses, temperature)
         else:
             velocities = jnp.zeros_like(coords)
-        idx, mask, shift, nbr_elem, rev, overflow = self._build_cache(coords)
+        idx, mask, shift, nbr_elem, rev, overflow = self._build_cache_jit(coords)
         state = MDState(
             coords=coords,
             velocities=velocities,
@@ -424,7 +468,7 @@ class MolecularDynamics:
             if self._species_perm is None
             else jnp.asarray(self._species_perm),
         )
-        e, f = self._energy_and_forces(state, coords)
+        e, f = jax.jit(self._energy_and_forces)(state, coords)
         return state.replace(energy=e, forces=f)
 
     def _maybe_rebuild(self, state: MDState, coords: Array) -> MDState:

@@ -158,19 +158,37 @@ def _pack_positions(valid: Array, capacity: int) -> tp.Tuple[Array, Array, Array
     """Row compaction: positions of the first ``capacity`` valid candidates of
     each row, in candidate order.
 
-    Returns ``(pos (R, K), mask (R, K), overflow ())``.  Uses top_k on
-    f32 ``-position`` keys (exact for n < 2^24): on TPU the sort-based top_k
-    beats a cumsum+binary-search formulation (measured 240ms vs 594ms at
-    (29k, 1080) rows) because take_along_axis lane-gathers lower poorly.
+    Returns ``(pos (R, K), mask (R, K), overflow ())``.
+
+    Narrow rows use top_k on f32 ``-position`` keys (exact for n < 2^24).
+    Wide rows (the cell-list candidate tables, n ~ 27*bucket_capacity) use
+    an exclusive-cumsum rank + one-hot contraction instead: the top_k sort
+    dominates the whole Verlet rebuild at those widths (~100 ms of a 104 ms
+    build at (10002, 1296) on v5e), while the contraction streams
+    ``R*n*capacity`` fused compare-multiply-adds on the VPU with nothing
+    materialized.  (A cumsum + binary-search/take_along formulation was
+    measured even slower than top_k — per-row lane gathers, not the cumsum,
+    were the problem.)
     """
     r, n = valid.shape
-    order = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
-    key = jnp.where(valid, -order.astype(jnp.float32), -jnp.inf)
-    _, pos = jax.lax.top_k(key, capacity)
     count = jnp.sum(valid, axis=1)
     k_index = jax.lax.broadcasted_iota(jnp.int32, (r, capacity), 1)
     mask = k_index < count[:, None]
     overflow = jnp.any(count > capacity)
+    if n > 4 * capacity and n > 256:
+        rank = jnp.cumsum(valid, axis=1) - valid  # exclusive rank
+        lane = jax.lax.broadcasted_iota(jnp.int32, (r, n, 1), 1)
+        sel = (
+            valid[:, :, None]
+            & (rank[:, :, None] == k_index[:, None, :])
+        )
+        pos = jnp.sum(
+            sel.astype(jnp.float32) * lane.astype(jnp.float32), axis=1
+        ).astype(jnp.int32)
+        return pos, mask, overflow
+    order = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+    key = jnp.where(valid, -order.astype(jnp.float32), -jnp.inf)
+    _, pos = jax.lax.top_k(key, capacity)
     return pos, mask, overflow
 
 
@@ -353,6 +371,45 @@ def narrow_to_cutoff(neighbors: Neighbors, cutoff: float) -> Neighbors:
     )  # cached .elem (if any) is kept; consumers mask it themselves
 
 
+def lane_permute(values: tp.Sequence[Array], top: Array) -> tp.List[Array]:
+    """Apply a per-row lane permutation ``top (R, C)`` to ``(R, K[, ...])``
+    arrays via a one-hot contraction (out[r, c] = x[r, top[r, c]]).
+
+    The ``take_along_axis`` formulation lowers to pathological
+    element-at-a-time gathers on TPU (and a scatter in backward); the
+    contraction streams fused compare-multiply-adds on the VPU, is exact
+    (one 1.0 per output lane; int payloads < 2^24 ride as exact f32), and
+    its backward is the transposed contraction.  All `values` share one
+    selector, which XLA sibling-fuses into a single pass.
+
+    Inputs must be finite everywhere (masked lanes included): unselected
+    lanes are multiplied by 0.0, and ``0 * inf`` would poison the sums.
+    """
+    r, k = values[0].shape[:2]
+    c = top.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (r, k, c), 1)
+    sel = (top[:, None, :] == lanes).astype(jnp.float32)
+    out = []
+    for x in values:
+        if x.ndim == 2:
+            packed = jnp.sum(sel * x[:, :, None].astype(jnp.float32), axis=1)
+        else:  # (R, K, D): contract each trailing component
+            packed = jnp.stack(
+                [
+                    jnp.sum(
+                        sel * x[..., d][:, :, None].astype(jnp.float32), axis=1
+                    )
+                    for d in range(x.shape[-1])
+                ],
+                axis=-1,
+            )
+        if x.dtype == jnp.bool_:
+            out.append(packed > 0.5)
+        else:
+            out.append(packed.astype(x.dtype))
+    return out
+
+
 def repack_to_capacity(neighbors: Neighbors, capacity: int) -> Neighbors:
     """Re-pack a (possibly narrowed) table into a smaller static capacity.
 
@@ -373,21 +430,14 @@ def repack_to_capacity(neighbors: Neighbors, capacity: int) -> Neighbors:
 
     def pack_one(idx, mask, diff, dist, elem):
         top, new_mask, overflow = _pack_positions(mask, capacity)
-        # sel[r, k, c] = 1 iff packed lane c of row r reads source lane k
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (a, k, capacity), 1)
-        sel = (top[:, None, :] == lanes).astype(dist.dtype)
-        pack = lambda x: jnp.sum(  # noqa: E731
-            sel * x[:, :, None].astype(dist.dtype), axis=1
+        new_idx, new_diff, new_dist, new_elem = lane_permute(
+            (idx, diff, dist, elem if has_elem else idx), top
         )
-        new_dist = jnp.where(new_mask, pack(dist), 1.0)
-        new_diff = jnp.stack(
-            [pack(diff[..., d]) for d in range(diff.shape[-1])], axis=-1
-        )
+        new_dist = jnp.where(new_mask, new_dist, 1.0)
         new_diff = jnp.where(new_mask[..., None], new_diff, 0.0)
-        # int payloads (atom index < 2^24, species) are exact in f32
-        pack_i = lambda x: pack(x).astype(x.dtype)  # noqa: E731
-        new_elem = pack_i(elem) if has_elem else None
-        return pack_i(idx), new_mask, new_diff, new_dist, new_elem, overflow
+        if not has_elem:
+            new_elem = None
+        return new_idx, new_mask, new_diff, new_dist, new_elem, overflow
 
     fn = pack_one
     for _ in batch:
@@ -518,11 +568,17 @@ def cell_list(
     bucket_id = (idx3[:, 0] * gy + idx3[:, 1]) * gz + idx3[:, 2]  # (A,)
     bucket_id = jnp.where(real, bucket_id, g)  # dummies into a trash bucket
 
-    # rank of each atom within its bucket (stable sort + segment start)
+    # rank of each atom within its bucket (stable sort + segment start);
+    # segment starts via shift-compare + cummax, NOT searchsorted (which
+    # lowers to a binary-search while-loop of gathers — 13 ms of a 92 ms
+    # rebuild at 10k atoms on v5e)
     order = jnp.argsort(bucket_id, stable=True)  # (A,)
     sorted_bucket = jnp.take(bucket_id, order)
     pos = jnp.arange(a, dtype=jnp.int32)
-    seg_start = jnp.searchsorted(sorted_bucket, sorted_bucket, side="left")
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_bucket[1:] != sorted_bucket[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(is_new, pos, 0))
     rank_sorted = pos - seg_start.astype(jnp.int32)
     rank = jnp.zeros((a,), jnp.int32).at[order].set(rank_sorted)
 
