@@ -71,7 +71,7 @@ def main():
     from torchani_tpu.transforms import Compose, SubtractSAE
 
     symbols = ("H", "C", "N", "O")
-    if args.demo:
+    if args.demo or args.dataset is None:
         dataset = make_demo_dataset("/tmp/ani_tpu_demo.h5")
     else:
         dataset = ANIDataset(args.dataset)

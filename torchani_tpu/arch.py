@@ -17,6 +17,7 @@ import typing as tp
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from torchani_tpu.aev import AEVComputer
@@ -87,14 +88,29 @@ class ANI(struct.PyTreeNode):
 
     # ---- core computation ----
     def _convert(self, species: Array) -> Array:
-        if self.periodic_table_index:
-            return self.species_converter(species)
-        return species
+        if not self.periodic_table_index:
+            return species
+        # Concrete species (the usual jit-closed-over or eager case) convert
+        # on HOST so the element array STAYS concrete through the trace:
+        # inside an active trace even a table lookup on a constant returns a
+        # tracer, which would disable every trace-time specialization
+        # downstream (present-species packed angular, static NN partition).
+        if not isinstance(species, jax.core.Tracer):
+            table = np.full((120,), -1, dtype=np.int32)
+            for i, z in enumerate(self.species_converter.atomic_numbers):
+                table[z] = i
+            host = np.asarray(jax.device_get(species))
+            conv = np.where(host >= 0, table[np.clip(host, 0, 119)], -1)
+            # return a NUMPY array: under an active trace even
+            # jnp.asarray(constant) returns a tracer, which would disable
+            # the downstream trace-time specializations
+            return conv.astype(np.int32)
+        return self.species_converter(species)
 
     def __call__(
         self,
         species: Array,
-        coords: Array,
+        coords: tp.Optional[Array] = None,
         cell: tp.Optional[Array] = None,
         pbc: tp.Optional[Array] = None,
         charge: int = 0,
@@ -105,7 +121,20 @@ class ANI(struct.PyTreeNode):
 
         With ``atomic=True``: per-atom energies ``(molecules, atoms)``.
         With ``ensemble_values=True``: leading ensemble-member axis.
+        Also accepts the reference's tuple calling convention
+        ``model((species, coords), cell, pbc)`` (reference ``arch.py:302``).
         """
+        if isinstance(species, (tuple, list)):
+            # reference tuple convention: model((species, coords), cell, pbc)
+            # — positional cell/pbc arrive shifted one slot right
+            if coords is not None:
+                if pbc is not None:
+                    raise TypeError(
+                        "With the (species, coords) tuple convention pass "
+                        "cell/pbc positionally after the tuple or as keywords"
+                    )
+                cell, pbc = coords, cell
+            species, coords = species
         if species.ndim != 2 or coords.shape != species.shape + (3,):
             raise ValueError(
                 f"Expected species (molecules, atoms) and coords "
