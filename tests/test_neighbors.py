@@ -142,3 +142,44 @@ def test_jit_all_pairs():
         np.asarray(f(elem, coords)), np.asarray(all_pairs(5.2, elem, coords).dist),
         atol=1e-6,
     )
+
+
+def test_lane_permute_matches_take_along_axis():
+    """lane_permute (one-hot contraction) must reproduce take_along_axis
+    bit-exactly for f32, int32 and bool payloads."""
+    from torchani_tpu.neighbors import lane_permute
+
+    rng = np.random.RandomState(3)
+    r, k, c = 37, 24, 11
+    top = jnp.asarray(rng.randint(0, k, (r, c)).astype(np.int32))
+    f = jnp.asarray(rng.randn(r, k).astype(np.float32))
+    v3 = jnp.asarray(rng.randn(r, k, 3).astype(np.float32))
+    i = jnp.asarray(rng.randint(-1, 1000, (r, k)).astype(np.int32))
+    b = jnp.asarray(rng.rand(r, k) < 0.5)
+
+    pf, pv, pi, pb = lane_permute((f, v3, i, b), top)
+    ref = lambda x: jnp.take_along_axis(  # noqa: E731
+        x, top[..., None] if x.ndim == 3 else top, axis=1
+    )
+    assert bool(jnp.all(pf == ref(f)))
+    assert bool(jnp.all(pv == ref(v3)))
+    assert bool(jnp.all(pi == ref(i)))
+    assert bool(jnp.all(pb == ref(b)))
+
+
+def test_pack_positions_wide_matches_topk():
+    """The wide-row cumsum-contraction pack must agree with the top_k pack
+    on every unmasked lane (and on the overflow flag)."""
+    from torchani_tpu.neighbors import _pack_positions
+
+    rng = np.random.RandomState(4)
+    r, n, cap = 64, 1300, 48
+    valid = jnp.asarray(rng.rand(r, n) < 0.02)
+    pos, mask, ov = _pack_positions(valid, cap)  # wide path (n > 4*cap)
+    order = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+    key = jnp.where(valid, -order.astype(jnp.float32), -jnp.inf)
+    _, pos_ref = jax.lax.top_k(key, cap)
+    assert bool(jnp.all(jnp.where(mask, pos, -1) == jnp.where(mask, pos_ref, -1)))
+    assert not bool(ov)
+    _, _, ov2 = _pack_positions(jnp.asarray(rng.rand(r, n) < 0.2), cap)
+    assert bool(ov2)

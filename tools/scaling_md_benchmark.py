@@ -38,7 +38,10 @@ def main():
         )
         md = MolecularDynamics(model, species, cell=cell, pbc=True)
         state = md.init(coords, temperature=300.0)
-        state = md.run_nve(state, 2)  # compile
+        # warm with the SAME step count: the scan length is part of the
+        # compiled program signature, so a different length would put a
+        # full recompile inside the timed region
+        state = md.run_nve(state, args.steps)
         _ = float(state.energy)
         t0 = time.perf_counter()
         state = md.run_nve(state, args.steps)

@@ -126,22 +126,24 @@ def _partner_lanes(
     block: int = 512,
 ) -> tp.Tuple[Array, Array]:
     """Flat partner-lane map: rev[i, k] = j*K + k' with idx[j,k'] == i and
-    opposite image shift.  Returns (rev, all_found)."""
+    opposite image shift.  Returns (rev, all_found).
+
+    The per-block row gathers dominate this map's cost, so (atom index,
+    image hash, valid) are folded into ONE int32 key per lane — one gather
+    of candidate rows instead of three (image hash < 125, atom index < 2^24:
+    key = idx * 128 + hash, -1 for invalid lanes).
+    """
     a, k = idx.shape
     idx_safe = jnp.where(mask, idx, 0)
+    key = jnp.where(mask, idx * 128 + image, -1)  # (A, K)
     pad = (-a) % block
     rows = jnp.arange(a + pad, dtype=jnp.int32)
 
     def one_block(args):
-        blk_idx, blk_mask, blk_safe, blk_neg, blk_rows = args
-        cand_idx = jnp.take(idx_safe, blk_safe, axis=0)  # (B, K, K)
-        cand_msk = jnp.take(mask, blk_safe, axis=0)
-        cand_img = jnp.take(image, blk_safe, axis=0)
-        match = (
-            cand_msk
-            & (cand_idx == blk_rows[:, None, None])
-            & (cand_img == blk_neg[:, :, None])
-        )
+        blk_mask, blk_safe, blk_neg, blk_rows = args
+        cand_key = jnp.take(key, blk_safe, axis=0)  # (B, K, K)
+        want = blk_rows[:, None] * 128 + blk_neg  # (B, K)
+        match = cand_key == want[:, :, None]
         kprime = jnp.argmax(match, axis=2).astype(jnp.int32)  # (B, K)
         found = jnp.any(match, axis=2)
         rev = blk_safe * k + kprime
@@ -151,7 +153,6 @@ def _partner_lanes(
         return jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill)
 
     args = (
-        pad0(idx, 0),
         pad0(mask, False),
         pad0(idx_safe, 0),
         pad0(neg_image, 0),
@@ -236,6 +237,7 @@ class MolecularDynamics:
         bucket_capacity: tp.Optional[int] = None,
         timestep_fs: float = 1.0,
         nn_precision: str = "high",
+        auto_capacity: bool = True,
     ) -> None:
         # MD defaults the NN matmuls to "high" (3 bf16 MXU passes): max
         # relative force error ~3e-5 vs "highest" — far below thermal noise
@@ -292,6 +294,11 @@ class MolecularDynamics:
         self.capacity = capacity or estimate_capacity(
             self.cutoff + skin, a, periodic=pbc
         )
+        # auto_capacity: after the first build, shrink the static neighbor
+        # capacity to the measured max occupancy (+12% and 4 lanes margin) —
+        # every padded lane costs per-step gather rows.  Only when the user
+        # didn't pin a capacity; overflow stays flagged either way.
+        self._auto_capacity = auto_capacity and capacity is None
         self.bucket_capacity = bucket_capacity
         # Verlet-cache lanes are distance-sorted at build time, so any lane
         # that can come within the angular cutoff before the next rebuild
@@ -442,6 +449,15 @@ class MolecularDynamics:
         if coords.ndim == 3:
             coords = coords[0]
         self._ensure_grid(coords)
+        if self._auto_capacity:
+            self._auto_capacity = False  # measure once, on the first init
+            _, mask0, *_ = self._build_cache_jit(coords)
+            occ = int(jax.device_get(jnp.max(jnp.sum(mask0, axis=-1))))
+            tight = int(-(-int(occ * 1.12 + 4) // 8) * 8)
+            if tight < self.capacity:
+                self.capacity = tight
+                self._build_jit = None  # drop programs compiled at the old K
+                self._runner_cache = {}
         key = key if key is not None else jax.random.PRNGKey(0)
         key, vkey = jax.random.split(key)
         if temperature is not None:
