@@ -138,6 +138,70 @@ def main():
     print("v4 vs v5 max diff:",
           float(jnp.max(jnp.abs(v4(g) - v5(g)))), flush=True)
 
+    # ---- decomposed partner backward (radial lanes carry a SCALAR) ----
+    # Beyond the angular prefix, the cotangent row is parallel to the unit
+    # diff vector (radial terms + pair potentials depend on |diff| only), so
+    # the partner pull needs only the scalar dE/d(dist) — payload 1 instead
+    # of 3.  Angular-active lanes (a per-row prefix, ~56 of K sorted lanes)
+    # still need the full vector, but from a 4x smaller source.
+    prefix = 64
+    gs = jnp.asarray(rng.randn(a, k).astype(np.float32))  # scalar per lane
+
+    # v6: scalar partner gather, all A*K rows, source (A*K,) 5.4 MB
+    def v6(gs):
+        part = jnp.take(gs.reshape(-1), jnp.where(mask, rev, 0), axis=0)
+        return jnp.sum(jnp.where(mask, part, 0.0), axis=1)
+
+    # v7: vector partner gather restricted to the angular prefix: rows
+    # (A, prefix), source g[:, :prefix] (A*prefix, 3)
+    rev_pref = jnp.asarray(
+        ((np.arange(a)[:, None] + rng.randint(-w_atoms, w_atoms, (a, prefix)))
+         % a) * prefix + rng.randint(0, prefix, (a, prefix)).astype(np.int32))
+    maskp = mask[:, :prefix]
+
+    def v7(g):
+        gp = g.reshape(a, k, 3)[:, :prefix].reshape(a * prefix, 3)
+        part = jnp.take(gp, jnp.where(maskp, rev_pref, 0), axis=0)
+        return jnp.sum(jnp.where(maskp[..., None], part, 0.0), axis=1)
+
+    # v8: scalar partner gather in ONE fused op with the unit reconstruction
+    unit = jnp.asarray(rng.randn(a, k, 3).astype(np.float32))
+
+    def v8(gs):
+        part = jnp.take(gs.reshape(-1), jnp.where(mask, rev, 0), axis=0)
+        vec = jnp.where(mask, part, 0.0)[..., None] * unit
+        return jnp.sum(vec, axis=1)
+
+    print(f"v6 scalar all  {timeit(v6, gs):7.2f} ms", flush=True)
+    print(f"v7 vec prefix  {timeit(v7, g):7.2f} ms", flush=True)
+    print(f"v8 scalar+unit {timeit(v8, gs):7.2f} ms", flush=True)
+
+    # v9: lane-ALIGNED partner layout premise: if each pair occupied the
+    # same lane slot k in both atoms' rows (edge coloring), the partner
+    # pull becomes K per-column gathers from (A, 3) sources — the same
+    # small-source shape as the fast forward gather.  Timing with fake
+    # per-column atom indices (alignment correctness not needed for timing).
+    jdx = jnp.asarray(rng.randint(0, a, (a, k)).astype(np.int32))
+
+    def v9(t):
+        tt = t.reshape(a, k, 3).transpose(1, 0, 2)  # (K, A, 3)
+        part = jax.vmap(lambda src, ii: jnp.take(src, ii, axis=0))(
+            tt, jdx.T
+        )  # (K, A, 3)
+        part = jnp.where(mask.T[..., None], part, 0.0)
+        return jnp.sum(part, axis=0)
+
+    # v10: same but scalar payload per column from (A,) sources
+    def v10(ts):
+        tt = ts.reshape(a, k).T  # (K, A)
+        part = jax.vmap(lambda src, ii: jnp.take(src, ii, axis=0))(
+            tt, jdx.T
+        )
+        return jnp.sum(jnp.where(mask.T, part, 0.0), axis=0)
+
+    print(f"v9 aligned col {timeit(v9, g):7.2f} ms", flush=True)
+    print(f"v10 aligned sc {timeit(v10, gs):7.2f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()

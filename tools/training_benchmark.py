@@ -26,6 +26,8 @@ def main():
     parser.add_argument("--force-training", action="store_true")
     parser.add_argument("--ensemble", type=int, default=1)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--angular-capacity", type=int, default=None)
+    parser.add_argument("--atom-block", type=int, default=None)
     args = parser.parse_args()
 
     import jax
@@ -53,6 +55,16 @@ def main():
     model = model.replace(
         energy_shifter=model.energy_shifter.replace(enabled=False)
     )
+    if args.angular_capacity is not None or args.atom_block is not None:
+        nnp = model.potentials["nnp"]
+        aevc = nnp.aev_computer
+        if args.angular_capacity is not None:
+            aevc = aevc.replace(angular_capacity=args.angular_capacity)
+        if args.atom_block is not None:
+            aevc = aevc.replace(atom_block=args.atom_block)
+        pots = dict(model.potentials)
+        pots["nnp"] = nnp.replace(aev_computer=aevc)
+        model = model.replace(potentials=pots)
     species, coords = make_molecs(args.batch_size, args.max_atoms, seed=0)
     batch = {
         "species": jnp.asarray(species),

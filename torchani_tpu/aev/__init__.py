@@ -4,8 +4,10 @@ from torchani_tpu.aev.computer import AEVComputer
 from torchani_tpu.aev.terms import (
     ANIAngular,
     ANIRadial,
+    Angular,
     BaseAngular,
     BaseRadial,
+    Radial,
     parse_angular_term,
     parse_radial_term,
 )
@@ -14,6 +16,8 @@ __all__ = [
     "AEVComputer",
     "ANIAngular",
     "ANIRadial",
+    "Angular",
+    "Radial",
     "BaseAngular",
     "BaseRadial",
     "parse_angular_term",

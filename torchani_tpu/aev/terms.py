@@ -24,6 +24,8 @@ __all__ = [
     "BaseAngular",
     "ANIRadial",
     "ANIAngular",
+    "Radial",
+    "Angular",
     "parse_radial_term",
     "parse_angular_term",
 ]
@@ -232,3 +234,140 @@ def parse_angular_term(angular: AngularArg) -> BaseAngular:
     if not isinstance(angular, BaseAngular):
         raise ValueError(f"Unsupported angular term: {angular}")
     return angular
+
+
+def _validate_user_kwargs(
+    clsname: str,
+    names_dict: tp.Dict[str, tp.Sequence[str]],
+    kwargs: tp.Dict[str, tp.Any],
+    trainable: tp.Sequence[str],
+) -> None:
+    """Validate declarative tensor kwargs (reference ``utils.py:574-609``)."""
+    declared: tp.Set[str] = set()
+    total = 0
+    for seq in names_dict.values():
+        declared |= set(seq)
+        total += len(seq)
+    if len(declared) != total:
+        raise ValueError("tensor names must be unique")
+    if set(kwargs) != declared:
+        raise ValueError(
+            f"Expected arguments '{', '.join(sorted(declared))}' but got "
+            f"'{', '.join(kwargs)}'. Maybe you forgot \"*tensors = [..., "
+            f"'argname']\" when defining {clsname}?"
+        )
+    for names in names_dict.values():
+        seqs = [
+            v for k, v in kwargs.items()
+            if k in names and isinstance(v, (tuple, list))
+        ]
+        if seqs and not all(len(s) == len(seqs[0]) for s in seqs):
+            raise ValueError(
+                f"Tuples or lists passed to {clsname} for {names} must have "
+                "the same len"
+            )
+    if not set(trainable).issubset(declared):
+        raise ValueError(f"trainable={trainable} not found in {declared}")
+
+
+class Radial(BaseRadial):
+    """User-extensible 2-body term (reference ``_terms.py:457-489``).
+
+    Subclasses declare tensor names via the ``tensors`` class attribute and
+    construct with ``MySubclass.make(cutoff, name=value, ...)``; each value
+    is stored as a ``(1, F)`` array reachable as ``self.<name>`` inside an
+    overridden `compute`.  ``trainable`` has no effect on execution here —
+    every stored array is a pytree leaf, so optax masking (not buffer vs
+    parameter registration) decides what trains.
+    """
+
+    tensors: tp.ClassVar[tp.List[str]] = []
+    params: tp.Dict[str, Array] = None
+
+    def __getattr__(self, name: str):
+        params = object.__getattribute__(self, "params") or {}
+        if name in params:
+            return params[name]
+        raise AttributeError(name)
+
+    @classmethod
+    def make(
+        cls,
+        cutoff: float,
+        trainable: tp.Union[str, tp.Sequence[str]] = (),
+        cutoff_fn: CutoffArg = "cosine",
+        **kwargs,
+    ) -> "Radial":
+        if isinstance(trainable, str):
+            trainable = [trainable]
+        _validate_user_kwargs(
+            cls.__name__, {"tensors": cls.tensors}, kwargs, trainable
+        )
+        num_feats = 1
+        params = {}
+        for k, v in kwargs.items():
+            arr = jnp.asarray(np.asarray(v, dtype=np.float32)).reshape(1, -1)
+            params[k] = arr
+            num_feats = max(num_feats, arr.shape[1])
+        return cls(
+            cutoff=cutoff,
+            cutoff_fn=parse_cutoff_fn(cutoff_fn),
+            num_feats=num_feats,
+            params=params,
+        )
+
+
+class Angular(BaseAngular):
+    """User-extensible 3-body term (reference ``_terms.py:414-454``).
+
+    Subclasses declare ``radial_tensors`` / ``angles_tensors`` names and
+    override `compute_radial` / `compute_cos_angles`;
+    ``num_feats = radial_feats * angles_feats`` with the shift-major,
+    section-minor layout of `BaseAngular.__call__`.
+    """
+
+    radial_tensors: tp.ClassVar[tp.List[str]] = []
+    angles_tensors: tp.ClassVar[tp.List[str]] = []
+    params: tp.Dict[str, Array] = None
+
+    def __getattr__(self, name: str):
+        params = object.__getattribute__(self, "params") or {}
+        if name in params:
+            return params[name]
+        raise AttributeError(name)
+
+    @classmethod
+    def make(
+        cls,
+        cutoff: float,
+        trainable: tp.Union[str, tp.Sequence[str]] = (),
+        cutoff_fn: CutoffArg = "cosine",
+        **kwargs,
+    ) -> "Angular":
+        if isinstance(trainable, str):
+            trainable = [trainable]
+        _validate_user_kwargs(
+            cls.__name__,
+            {
+                "radial_tensors": cls.radial_tensors,
+                "angles_tensors": cls.angles_tensors,
+            },
+            kwargs,
+            trainable,
+        )
+        radial_feats = 1
+        angles_feats = 1
+        params = {}
+        for k, v in kwargs.items():
+            arr = jnp.asarray(np.asarray(v, dtype=np.float32)).reshape(1, -1)
+            params[k] = arr
+            if k in cls.angles_tensors:
+                angles_feats = max(angles_feats, arr.shape[1])
+            else:
+                radial_feats = max(radial_feats, arr.shape[1])
+        return cls(
+            cutoff=cutoff,
+            cutoff_fn=parse_cutoff_fn(cutoff_fn),
+            num_feats=radial_feats * angles_feats,
+            params=params,
+        )

@@ -206,6 +206,100 @@ def cmd_data_pack(args) -> None:
     print(f"wrote batched dataset to {dest}")
 
 
+# ---- programmatic command functions (reference ``cli.py`` names) ----------
+# The reference exposes each typer command as an importable function
+# (``torchani.cli.sp``, ``data_ls``, ...); these wrappers drive the same
+# code paths as the argv CLI with keyword arguments.
+
+
+def _ns(**kwargs) -> argparse.Namespace:
+    return argparse.Namespace(**kwargs)
+
+
+def sp(
+    paths,
+    output_path=None,
+    model_key: str = "ANI2x",
+    forces: bool = False,
+    hessians: bool = False,
+    vib: bool = False,
+    ensemble_member: tp.Optional[int] = None,
+    compact: bool = False,
+) -> None:
+    """Single points from xyz file(s) (reference ``cli.py:sp``)."""
+    if isinstance(paths, (str, bytes)) or hasattr(paths, "__fspath__"):
+        paths = [paths]
+    for path in paths:
+        cmd_sp(
+            _ns(
+                xyz=str(path),
+                model=model_key.lower(),
+                ensemble_member=ensemble_member,
+                forces=forces,
+                hessians=hessians,
+                vib=vib,
+                output=None if output_path is None else str(output_path),
+                compact=compact,
+            )
+        )
+
+
+def opt(
+    paths,
+    output_path=None,
+    model_key: str = "ANI2x",
+    steps: int = 500,
+    fmax: float = 0.02,
+    ensemble_member: tp.Optional[int] = None,
+) -> None:
+    """Geometry optimization (reference ``cli.py:opt`` — a stub there;
+    functional here via FIRE, `torchani_tpu.optimize`)."""
+    if isinstance(paths, (str, bytes)) or hasattr(paths, "__fspath__"):
+        paths = [paths]
+    for path in paths:
+        cmd_opt(
+            _ns(
+                xyz=str(path),
+                model=model_key.lower(),
+                ensemble_member=ensemble_member,
+                steps=steps,
+                fmax=fmax,
+                output=None if output_path is None else str(output_path),
+            )
+        )
+
+
+def data_ls(location) -> None:
+    """List dataset groups (reference ``cli.py:data ls``)."""
+    cmd_data_ls(_ns(location=str(location)))
+
+
+def data_info(location) -> None:
+    cmd_data_info(_ns(location=str(location)))
+
+
+def data_pack(location, dest, batch_size: int = 2560, seed: int = 1234) -> None:
+    cmd_data_pack(
+        _ns(location=str(location), dest=str(dest), batch_size=batch_size, seed=seed)
+    )
+
+
+def data_rm(location, groups: tp.Sequence[str]) -> None:
+    cmd_data_rm(_ns(location=str(location), groups=list(groups)))
+
+
+def data_clean(location) -> None:
+    cmd_data_clean(_ns(location=str(location)))
+
+
+def data_pull(*args, **kwargs) -> None:
+    """Unavailable: dataset downloads need network egress (reference
+    ``cli.py:data pull``).  Use local files with the other data commands."""
+    raise RuntimeError(
+        "data_pull is unavailable in this environment (no network egress)"
+    )
+
+
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     parser = argparse.ArgumentParser(
         prog="ani-tpu", description="TPU-native ANI models CLI"

@@ -29,6 +29,13 @@ def load_torch_state_dict(path) -> tp.Dict[str, np.ndarray]:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        # lightning checkpoint tolerance (reference utils.py:483-489)
+        sd = {
+            k[len("model."):]: v
+            for k, v in sd["state_dict"].items()
+            if k.startswith("model.")
+        }
     return {k: v.detach().cpu().numpy() for k, v in sd.items()}
 
 

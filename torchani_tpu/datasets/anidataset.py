@@ -229,3 +229,32 @@ def _formula(znums: np.ndarray) -> str:
     return "".join(
         f"{s}{c}" if c > 1 else str(s) for s, c in zip(symbols, counts)
     )
+
+
+def concatenate(
+    source: ANIDataset,
+    dest_location,
+    verbose: bool = True,
+    backend: str = "hdf5",
+    delete_originals: bool = False,
+) -> ANIDataset:
+    """Combine all backing stores of a dataset into one store (reference
+    ``anidataset.py:1261-1294``)."""
+    from pathlib import Path
+
+    dest_location = Path(dest_location).resolve()
+    dest = ANIDataset(dest_location, backend=backend)
+    for name, conformers in source.items():
+        dest.append_conformers(name.split("/")[-1], conformers)
+    if delete_originals:
+        import shutil
+
+        for loc in getattr(source, "locations", []):
+            loc = Path(loc)
+            if loc.resolve() == dest_location:
+                continue
+            if loc.is_dir():
+                shutil.rmtree(loc)
+            elif loc.exists():
+                loc.unlink()
+    return dest

@@ -25,8 +25,10 @@ from torchani_tpu.utils import pad_atomic_properties
 
 __all__ = [
     "Batcher",
+    "BatchedDataset",
     "ANIBatchedDataset",
     "ANIBatchedInMemoryDataset",
+    "Div",
     "create_batched_dataset",
     "batch_all_in_ram",
 ]
@@ -34,11 +36,42 @@ __all__ = [
 Properties = tp.Dict[str, np.ndarray]
 
 
-class ANIBatchedInMemoryDataset:
+class Div(tp.NamedTuple):
+    """A named division of a batched dataset (reference
+    ``batching.py:232-236``)."""
+
+    name: str
+    indices: np.ndarray  # (num_conformers, 2) [group-ordinal, conformer-idx]
+    path: tp.Optional[object] = None
+
+
+class BatchedDataset:
+    """Base class for batched-dataset divisions (reference
+    ``batching.py:25-44``): an indexable sequence of batch dicts."""
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def __getitem__(self, i: int) -> Properties:
+        raise NotImplementedError
+
+    def __iter__(self) -> tp.Iterator[Properties]:
+        for i in range(len(self)):
+            yield self[i]
+
+    def cache(self, verbose: bool = True, pin_memory: bool = False):
+        """Load all batches into RAM (no-op for in-memory datasets)."""
+        return ANIBatchedInMemoryDataset([self[i] for i in range(len(self))])
+
+
+class ANIBatchedInMemoryDataset(BatchedDataset):
     """A division's batches held in RAM; iterable, optionally shuffled."""
 
     def __init__(self, batches: tp.List[Properties]) -> None:
         self._batches = batches
+
+    def cache(self, verbose: bool = True, pin_memory: bool = False):
+        return self
 
     def __len__(self) -> int:
         return len(self._batches)
@@ -55,7 +88,7 @@ class ANIBatchedInMemoryDataset:
             yield self._batches[i]
 
 
-class ANIBatchedDataset:
+class ANIBatchedDataset(BatchedDataset):
     """A division stored as one ``.npz`` file per batch."""
 
     def __init__(self, root, division: str = "training") -> None:

@@ -23,9 +23,19 @@ __all__ = [
     "available_datasets",
     "builtin_dataset",
     "TestData",
+    "TestDataForcesDipoles",
+    "TestDataIons",
     "ANI1x",
+    "ANI1ccx",
+    "ANI1e",
+    "ANI1q",
     "ANI2x",
+    "ANI2qHeavy",
     "COMP6v1",
+    "COMP6v2",
+    "IonsLight",
+    "IonsHeavy",
+    "IonsVeryHeavy",
     "DatasetIntegrityError",
 ]
 
@@ -51,6 +61,24 @@ DATASET_REGISTRY: tp.Dict[str, tp.Dict[str, str]] = {
     },
     "AminoacidDimers": {
         "b973c-def2mtzvp": "aminoacid-dimers-b973c.h5",
+    },
+    "ANI1e": {
+        "wb97x-631gd": "ani1e-wb97x-631gd.h5",
+    },
+    "ANI1q": {
+        "wb97x-631gd": "ani1q-wb97x-631gd.h5",
+    },
+    "ANI2qHeavy": {
+        "wb97x-631gd": "ani2q-heavy-wb97x-631gd.h5",
+    },
+    "IonsLight": {
+        "wb97x-631gd": "ions-light-wb97x-631gd.h5",
+    },
+    "IonsHeavy": {
+        "wb97x-631gd": "ions-heavy-wb97x-631gd.h5",
+    },
+    "IonsVeryHeavy": {
+        "wb97x-631gd": "ions-very-heavy-wb97x-631gd.h5",
     },
 }
 
@@ -133,6 +161,96 @@ def TestData(
                 "coordinates": (rng.rand(n, max_atoms, 3) * 4).astype(np.float32),
                 "energies": (rng.randn(n) - 40).astype(np.float64),
                 "forces": rng.randn(n, max_atoms, 3).astype(np.float32) * 0.01,
+            },
+        )
+    return ds
+
+
+def ANI1ccx(lot: str = "ccsd(t)star-cbs", **kwargs) -> ANIDataset:
+    """ANI-1ccx dataset (CCSD(T)*/CBS energies over ANI-1x structures)."""
+    return builtin_dataset("ANI1x", lot, **kwargs)
+
+
+def ANI1e(lot: str = "wb97x-631gd", **kwargs) -> ANIDataset:
+    return builtin_dataset("ANI1e", lot, **kwargs)
+
+
+def ANI1q(lot: str = "wb97x-631gd", **kwargs) -> ANIDataset:
+    return builtin_dataset("ANI1q", lot, **kwargs)
+
+
+def ANI2qHeavy(lot: str = "wb97x-631gd", **kwargs) -> ANIDataset:
+    return builtin_dataset("ANI2qHeavy", lot, **kwargs)
+
+
+def COMP6v2(lot: str = "wb97x-631gd", **kwargs) -> ANIDataset:
+    return builtin_dataset("COMP6v2", lot, **kwargs)
+
+
+def IonsLight(lot: str = "wb97x-631gd", **kwargs) -> ANIDataset:
+    return builtin_dataset("IonsLight", lot, **kwargs)
+
+
+def IonsHeavy(lot: str = "wb97x-631gd", **kwargs) -> ANIDataset:
+    return builtin_dataset("IonsHeavy", lot, **kwargs)
+
+
+def IonsVeryHeavy(lot: str = "wb97x-631gd", **kwargs) -> ANIDataset:
+    return builtin_dataset("IonsVeryHeavy", lot, **kwargs)
+
+
+def TestDataForcesDipoles(
+    root: tp.Optional[Path] = None,
+    num_conformers: int = 64,
+    seed: int = 1234,
+) -> ANIDataset:
+    """Synthetic local dataset carrying forces and dipoles (reference
+    ``builtin.py`` TestData variant)."""
+    root = Path(root) if root is not None else datasets_dir()
+    path = root / f"test-data-fd-{num_conformers}-{seed}.h5"
+    if path.exists():
+        return ANIDataset(path)
+    rng = np.random.RandomState(seed)
+    ds = ANIDataset(path)
+    for gi, max_atoms in enumerate((5, 8)):
+        n = num_conformers // 2 + (gi == 0) * (num_conformers % 2)
+        species = rng.choice([1, 6, 7, 8], size=(n, max_atoms))
+        ds.append_conformers(
+            f"group{gi}",
+            {
+                "species": species,
+                "coordinates": (rng.rand(n, max_atoms, 3) * 4).astype(np.float32),
+                "energies": (rng.randn(n) - 40).astype(np.float64),
+                "forces": rng.randn(n, max_atoms, 3).astype(np.float32) * 0.01,
+                "dipoles": rng.randn(n, 3).astype(np.float32) * 0.1,
+            },
+        )
+    return ds
+
+
+def TestDataIons(
+    root: tp.Optional[Path] = None,
+    num_conformers: int = 48,
+    seed: int = 1234,
+) -> ANIDataset:
+    """Synthetic local dataset with net charges (reference ``builtin.py``
+    TestData variant for charged species)."""
+    root = Path(root) if root is not None else datasets_dir()
+    path = root / f"test-data-ions-{num_conformers}-{seed}.h5"
+    if path.exists():
+        return ANIDataset(path)
+    rng = np.random.RandomState(seed)
+    ds = ANIDataset(path)
+    for gi, max_atoms in enumerate((4, 7)):
+        n = num_conformers // 2 + (gi == 0) * (num_conformers % 2)
+        species = rng.choice([1, 6, 7, 8], size=(n, max_atoms))
+        ds.append_conformers(
+            f"group{gi}",
+            {
+                "species": species,
+                "coordinates": (rng.rand(n, max_atoms, 3) * 4).astype(np.float32),
+                "energies": (rng.randn(n) - 40).astype(np.float64),
+                "charges": rng.choice([-1, 0, 1], size=(n,)).astype(np.int64),
             },
         )
     return ds

@@ -13,9 +13,24 @@ from torchani_tpu.annotations import Array, Symbols
 from torchani_tpu.constants import ATOMIC_NUMBER, ELECTRONEGATIVITY, HARDNESS
 from torchani_tpu.utils import get_atomic_masses
 
-__all__ = ["ChargeNormalizer", "compute_dipole"]
+__all__ = [
+    "BaseChargeNormalizer",
+    "ChargeNormalizer",
+    "DipoleComputer",
+    "compute_dipole",
+]
 
 Reference = tp.Literal["center_of_mass", "center_of_geometry", "origin"]
+
+
+class BaseChargeNormalizer(struct.PyTreeNode):
+    """No-op normalizer base (reference ``electro.py:22-26``): passes raw
+    charges through.  Subclass and override ``__call__`` to normalize."""
+
+    def __call__(
+        self, elem_idxs: Array, raw_charges: Array, charge: tp.Union[int, Array] = 0
+    ) -> Array:
+        return raw_charges
 
 
 class ChargeNormalizer(struct.PyTreeNode):
@@ -75,6 +90,42 @@ class ChargeNormalizer(struct.PyTreeNode):
     ) -> Array:
         excess = charge - jnp.sum(raw_charges, axis=-1, keepdims=True)
         return raw_charges + excess * self.factor(elem_idxs, raw_charges)
+
+
+class DipoleComputer(struct.PyTreeNode):
+    """Callable dipole computer (reference ``electro.py:120-179``).
+
+    Functional wrapper over :func:`compute_dipole` with a fixed reference
+    frame; custom per-element masses are accepted for mass-weighted centers.
+    """
+
+    reference: Reference = struct.field(pytree_node=False, default="center_of_mass")
+    masses: tp.Optional[Array] = None  # optional custom masses keyed by znum
+
+    @classmethod
+    def make(
+        cls,
+        masses: tp.Iterable[float] = (),
+        reference: Reference = "center_of_mass",
+    ) -> "DipoleComputer":
+        m = tuple(masses)
+        return cls(
+            reference=reference,
+            masses=None if not m else jnp.asarray(np.asarray(m, np.float32)),
+        )
+
+    def __call__(
+        self, species: Array, coordinates: Array, charges: Array
+    ) -> Array:
+        if self.masses is not None and self.reference == "center_of_mass":
+            mask = species < 0
+            w = jnp.take(self.masses, jnp.where(mask, 0, species), axis=0)
+            w = jnp.where(mask, 0.0, w)
+            w = w / jnp.sum(w, axis=-1, keepdims=True)
+            center = jnp.sum(coordinates * w[..., None], axis=1, keepdims=True)
+            coordinates = jnp.where(mask[..., None], 0.0, coordinates - center)
+            return jnp.sum(charges[..., None] * coordinates, axis=1)
+        return compute_dipole(species, coordinates, charges, self.reference)
 
 
 def compute_dipole(

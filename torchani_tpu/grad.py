@@ -19,7 +19,14 @@ from torchani_tpu.utils import get_atomic_masses
 __all__ = [
     "energies",
     "forces",
+    "grads",
+    "calc_forces",
+    "calc_grads",
+    "calc_hessians",
+    "calc_forces_and_hessians",
     "energies_and_forces",
+    "forces_and_hessians",
+    "energies_forces_and_hessians",
     "forces_for_training",
     "hessians",
     "members_energies_and_forces",
@@ -80,6 +87,58 @@ def energies_and_forces(
 forces_for_training = forces
 
 
+def grads(
+    model,
+    species: Array,
+    coords: Array,
+    cell: tp.Optional[Array] = None,
+    pbc: tp.Optional[Array] = None,
+    **kwargs,
+) -> Array:
+    """Raw energy gradients dE/dr (= -forces); reference ``grad.py:68-79``."""
+    return jax.grad(_energy_sum, argnums=2)(
+        model, species, coords, cell, pbc, **kwargs
+    )
+
+
+def forces_and_hessians(
+    model,
+    species: Array,
+    coords: Array,
+    cell: tp.Optional[Array] = None,
+    pbc: tp.Optional[Array] = None,
+) -> "ForcesHessians":
+    """Forces and Hessians in one call (reference ``grad.py:86-105``)."""
+    from torchani_tpu.tuples import ForcesHessians
+
+    f = forces(model, species, coords, cell, pbc)
+    h = hessians(model, species, coords, cell, pbc)
+    return ForcesHessians(f, h)
+
+
+def energies_forces_and_hessians(
+    model,
+    species: Array,
+    coords: Array,
+    cell: tp.Optional[Array] = None,
+    pbc: tp.Optional[Array] = None,
+) -> "EnergiesForcesHessians":
+    """Energies, forces and Hessians (reference ``grad.py:239-260``)."""
+    from torchani_tpu.tuples import EnergiesForcesHessians
+
+    e, f = energies_and_forces(model, species, coords, cell, pbc)
+    h = hessians(model, species, coords, cell, pbc)
+    return EnergiesForcesHessians(e, f, h)
+
+
+# Reference-name aliases (reference ``grad.py:77-78, 106``).  The reference
+# signatures take a live autograd graph (energies tensor + leaf coords);
+# the JAX equivalents are functional — they take (model, species, coords).
+calc_forces = forces
+calc_grads = grads
+calc_forces_and_hessians = forces_and_hessians
+
+
 def hessians(
     model,
     species: Array,
@@ -104,6 +163,9 @@ def hessians(
     # energies of molecule i depend only on coords of i: take the block diagonal
     idx = jnp.arange(c)
     return h[idx, :, idx, :]
+
+
+calc_hessians = hessians  # reference-name alias (``grad.py:150``)
 
 
 def vibrational_analysis(

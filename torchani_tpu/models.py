@@ -27,6 +27,9 @@ __all__ = [
     "ANI2dr",
     "ANImbis",
     "ANIr2s",
+    "ANIr2s_water",
+    "ANIr2s_chcl3",
+    "ANIr2s_ch3cn",
     "SnnANI2xr",
 ]
 
@@ -256,6 +259,33 @@ def _select_member(model: ANI, idx: int) -> ANI:
     pots = dict(model.potentials)
     pots["nnp"] = nnp.replace(neural_networks=networks)
     return model.replace(potentials=pots)
+
+
+def ANIr2s_water(
+    model_index: tp.Optional[int] = None,
+    pretrained: bool = True,
+    key: tp.Optional[jax.Array] = None,
+) -> ANI:
+    """ANI-r2s in implicit water (reference ``models.py`` factory)."""
+    return ANIr2s("water", model_index, pretrained, key)
+
+
+def ANIr2s_chcl3(
+    model_index: tp.Optional[int] = None,
+    pretrained: bool = True,
+    key: tp.Optional[jax.Array] = None,
+) -> ANI:
+    """ANI-r2s in implicit chloroform (reference ``models.py`` factory)."""
+    return ANIr2s("chcl3", model_index, pretrained, key)
+
+
+def ANIr2s_ch3cn(
+    model_index: tp.Optional[int] = None,
+    pretrained: bool = True,
+    key: tp.Optional[jax.Array] = None,
+) -> ANI:
+    """ANI-r2s in implicit acetonitrile (reference ``models.py`` factory)."""
+    return ANIr2s("ch3cn", model_index, pretrained, key)
 
 
 # ---- custom models (reference models.py:469-482 analog) ----

@@ -52,8 +52,23 @@ __all__ = [
     "parse_neighborlist",
     "AllPairs",
     "CellList",
+    "FastCellList",
     "VerletCellList",
     "AdaptiveList",
+    "Neighborlist",
+    "narrow_down",
+    "discard_outside_cutoff",
+    "coords_to_fractional",
+    "coords_to_grid_idx3",
+    "flatten_idx3",
+    "setup_grid",
+    "count_atoms_in_buckets",
+    "atom_image_converters",
+    "image_pairs_within",
+    "lower_image_pairs_between",
+    "repack_to_capacity",
+    "lane_permute",
+    "discard_inter_molecule_pairs",
 ]
 
 
@@ -854,3 +869,195 @@ def parse_neighborlist(neighborlist: NeighborlistArg):
     if isinstance(neighborlist, (AllPairs, CellList, AdaptiveList)):
         return neighborlist
     raise ValueError(f"Unsupported neighborlist: {neighborlist}")
+
+
+# ---- reference-parity grid helpers -----------------------------------------
+# The reference exposes its cell-list internals as public, individually
+# testable functions (``neighbors.py:554-665``).  The geometric ones are
+# reproduced here with identical semantics (jit-able, static shapes).  The
+# image-pair enumeration internals (``image_pairs_within`` /
+# ``lower_image_pairs_between``) are specific to the reference's
+# compaction-based design and have no meaning for the bucket-pair padded
+# decomposition used here (see `cell_list`).
+
+
+def coords_to_fractional(coords: Array, cell: Array) -> Array:
+    """Wrap cartesian coords into fractional cell coords in [0, 1)
+    (reference ``neighbors.py:561-565``)."""
+    return jnp.remainder(coords @ jnp.linalg.inv(cell), 1.0)
+
+
+def setup_grid(
+    cell: np.ndarray,
+    cutoff: float,
+    buckets_per_cutoff: int = 1,
+    extra_space: float = 1e-5,
+) -> np.ndarray:
+    """Bucket-grid shape (GX, GY, GZ) for a cell and cutoff (reference
+    ``neighbors.py:618-662``).  Host-side: grid shapes must be static
+    under jit."""
+    cell = np.asarray(cell)
+    bucket_len = (cutoff + extra_space) / buckets_per_cutoff
+    # distance between opposite cell faces = |det(cell)| / face area
+    vol = abs(float(np.linalg.det(cell)))
+    heights = [
+        vol / np.linalg.norm(np.cross(cell[(i + 1) % 3], cell[(i + 2) % 3]))
+        for i in range(3)
+    ]
+    return np.maximum(np.floor(np.asarray(heights) / bucket_len), 1).astype(
+        np.int64
+    )
+
+
+def coords_to_grid_idx3(coords: Array, cell: Array, grid_shape) -> Array:
+    """Map coords to integer 3D bucket indices (reference
+    ``neighbors.py:554-558``)."""
+    grid_shape = jnp.asarray(np.asarray(grid_shape))
+    frac = coords_to_fractional(coords, cell)
+    idx3 = jnp.floor(frac * grid_shape).astype(jnp.int32)
+    return jnp.clip(idx3, 0, grid_shape.astype(jnp.int32) - 1)
+
+
+def flatten_idx3(idx3: Array, grid_shape) -> Array:
+    """Row-major flattening of 3D bucket indices (reference
+    ``neighbors.py:568-579``)."""
+    gs = np.asarray(grid_shape)
+    factors = jnp.asarray([int(gs[1]) * int(gs[2]), int(gs[2]), 1])
+    return jnp.sum(idx3 * factors, axis=-1)
+
+
+def count_atoms_in_buckets(
+    atom_grid_idx: Array, grid_shape
+) -> tp.Tuple[Array, Array]:
+    """(count, exclusive-cumcount) of atoms per flat bucket (reference
+    ``neighbors.py:606-615``)."""
+    g = int(np.prod(np.asarray(grid_shape)))
+    flat = atom_grid_idx.reshape(-1)
+    count = jnp.zeros((g,), jnp.int32).at[flat].add(1)
+    cumcount = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(count)[:-1]]
+    )
+    return count, cumcount
+
+
+def atom_image_converters(grid_idx: Array) -> tp.Tuple[Array, Array]:
+    """Permutations between atom order and bucket-sorted ("image") order
+    (reference ``neighbors.py:582-603``): returns
+    ``(image_to_atom, atom_to_image)``."""
+    flat = grid_idx.reshape(-1)
+    image_to_atom = jnp.argsort(flat).astype(jnp.int32)
+    atom_to_image = jnp.argsort(image_to_atom).astype(jnp.int32)
+    return image_to_atom, atom_to_image
+
+
+def narrow_down(
+    cutoff: float,
+    elem_idxs: Array,
+    coords: Array,
+    neighbors: "Neighbors",
+    shifts: tp.Optional[Array] = None,
+) -> "Neighbors":
+    """Screen candidate neighbors down to true neighbors (reference
+    ``neighbors.py:64-113``).
+
+    Recomputes differentiable diff/dist from ``coords`` for the candidate
+    table and masks dummy-atom (-1) lanes and lanes beyond ``cutoff`` — the
+    padded-table analog of the reference's compaction (masking replaces
+    index_select, preserving static shapes under jit).
+    """
+    idx_safe = jnp.where(neighbors.mask, neighbors.idx, 0)
+    flat_coords = coords.reshape((-1, 3))
+    nbr_pos = jnp.take(flat_coords, idx_safe, axis=0)
+    if shifts is None:
+        shift = reconstruct_shifts(coords, neighbors)
+    else:
+        shift = shifts
+    center = coords[..., :, None, :]
+    diff = nbr_pos + shift - center
+    mask = neighbors.mask
+    elem_flat = elem_idxs.reshape(-1)
+    mask = mask & (elem_flat[..., :, None] >= 0)
+    mask = mask & (jnp.take(elem_flat, idx_safe, axis=0) >= 0)
+    d2 = jnp.sum(diff * diff, axis=-1)
+    mask = mask & (d2 <= cutoff * cutoff)
+    diff = jnp.where(mask[..., None], diff, 0.0)
+    dist = jnp.sqrt(jnp.where(mask, d2, 1.0))
+    return neighbors.replace(idx=idx_safe, mask=mask, diff=diff, dist=dist)
+
+
+#: Reference-name alias: `narrow_to_cutoff` masks lanes outside the cutoff
+#: (the padded analog of the reference's compacting ``discard_outside_cutoff``,
+#: ``neighbors.py:46-61``).
+discard_outside_cutoff = narrow_to_cutoff
+
+
+class Neighborlist:
+    """Base class for neighborlist strategies (callable:
+    ``(cutoff, elem_idxs, coords, cell, pbc) -> Neighbors``)."""
+
+    def __call__(
+        self,
+        cutoff: float,
+        elem_idxs: Array,
+        coords: Array,
+        cell: tp.Optional[Array] = None,
+        pbc: tp.Optional[Array] = None,
+        **kwargs,
+    ) -> "Neighbors":
+        raise NotImplementedError("Must be implemented by subclasses")
+
+
+#: The reference ships a C++ ``FastCellList`` twin of its Python cell list
+#: (``csrc/cell_list.cpp``); here the one jit-compiled `CellList` IS the fast
+#: path, so the name is an alias.
+FastCellList = CellList
+
+
+def image_pairs_within(
+    count_in_grid: Array,
+    cumcount_in_grid: Array,
+    count_in_grid_max: int,
+) -> Array:
+    """All within-bucket image-index pairs, shape (2, W) (reference
+    ``neighbors.py:665-720``).  Eager-only (data-dependent output shape) —
+    the jit cell list here uses the padded bucket-pair decomposition
+    instead; this exists for reference-parity testing."""
+    count = np.asarray(jax.device_get(count_in_grid))
+    cum = np.asarray(jax.device_get(cumcount_in_grid))
+    has = np.flatnonzero(count > 1)
+    tl = np.tril_indices(count_in_grid_max, -1)
+    pairs = []
+    for g in has:
+        c = count[g]
+        keep = (tl[0] < c) & (tl[1] < c)
+        pairs.append(np.stack([tl[0][keep], tl[1][keep]]) + cum[g])
+    if not pairs:
+        return jnp.zeros((2, 0), jnp.int32)
+    return jnp.asarray(np.concatenate(pairs, axis=1).astype(np.int32))
+
+
+def lower_image_pairs_between(
+    count_in_atom_surround: Array,  # (C, A, 13)
+    cumcount_in_atom_surround: Array,  # (C, A, 13)
+    shift_idxs_between: Array,  # (C, A, 13, 3)
+    count_in_grid_max: int,
+) -> tp.Tuple[Array, Array]:
+    """Lower-side image indices of between-bucket candidate pairs (+ their
+    shift indices) (reference ``neighbors.py:724-755``).  Eager-only; see
+    `image_pairs_within`."""
+    count = np.asarray(jax.device_get(count_in_atom_surround))
+    cum = np.asarray(jax.device_get(cumcount_in_atom_surround))
+    shifts = np.asarray(jax.device_get(shift_idxs_between))
+    lanes = np.arange(count_in_grid_max)
+    padded = np.broadcast_to(
+        lanes, count.shape + (count_in_grid_max,)
+    )
+    mask = padded < count[..., None]
+    padded = padded + cum[..., None]
+    shifts_b = np.broadcast_to(
+        shifts[..., None, :], count.shape + (count_in_grid_max, 3)
+    )
+    return (
+        jnp.asarray(padded[mask].astype(np.int32)),
+        jnp.asarray(shifts_b[mask].astype(np.int32)),
+    )

@@ -13,6 +13,7 @@ import typing as tp
 from dataclasses import dataclass
 from pathlib import Path
 
+import jax.numpy as jnp
 import numpy as np
 
 from torchani_tpu.aev import AEVComputer, ANIAngular, ANIRadial
@@ -26,8 +27,19 @@ __all__ = [
     "load_aev_computer_and_symbols",
     "load_sae",
     "load_atomic_networks",
+    "load_atomic_network",
     "load_member",
+    "load_ensemble",
     "load_model_from_info",
+    "load_model_from_info_file",
+    "load_model_from_name",
+    "modules_from_info",
+    "modules_from_info_file",
+    "modules_from_model_name",
+    "model_dir_from_prefix",
+    "download_model_parameters",
+    "NeurochemInfo",
+    "NeurochemLayerSpec",
 ]
 
 
@@ -281,3 +293,188 @@ def load_model_from_info(info_file, model_index: tp.Optional[int] = None):
         energy_shifter=shifter,
         symbols=tuple(symbols),
     )
+
+
+# ---- reference-parity entry points -----------------------------------------
+
+
+def model_dir_from_prefix(prefix, idx: int) -> Path:
+    """Network dir of the idx-th ensemble member (reference
+    ``neurochem.py:40-42``)."""
+    prefix = Path(prefix)
+    return (prefix.parent / f"{prefix.name}{idx}") / "networks"
+
+
+def _single_nnf_layers(
+    nnf_path: Path,
+) -> tp.Tuple[tp.List[tp.Tuple[np.ndarray, np.ndarray]], tp.List[int], str]:
+    """(layers, dims, activation) of one ``.nnf`` network file."""
+    nnf_path = Path(nnf_path)
+    specs = _parse_nnf(_decompress_nnf(nnf_path.read_bytes()))
+    in_dim = specs[0].weight_numel // specs[0].nodes
+    layers = []
+    dims = [in_dim]
+    prev = in_dim
+    activation = "celu"
+    for i, spec in enumerate(specs):
+        w = _load_param_file(
+            nnf_path.parent / spec.weights, spec.weight_numel
+        ).reshape(spec.nodes, prev)
+        b = _load_param_file(nnf_path.parent / spec.biases, spec.bias_numel)
+        layers.append((w, b))
+        dims.append(spec.nodes)
+        prev = spec.nodes
+        if i < len(specs) - 1 and spec.activation >= 0:
+            activation = _activation_name(spec.activation)
+    return layers, dims, activation
+
+
+def load_atomic_network(filename):
+    """Load one element's MLP from a ``.nnf`` file as an
+    `torchani_tpu.nn.AtomicNetwork` (reference ``neurochem.py:226-302``)."""
+    from torchani_tpu.nn import AtomicNetwork
+
+    layers, dims, activation = _single_nnf_layers(Path(filename))
+    # NeuroChem stores torch-layout (out, in) weights; AtomicNetwork uses
+    # (in, out) matmul layout
+    return AtomicNetwork(
+        weights=tuple(jnp.asarray(w.T) for w, _ in layers),
+        biases=tuple(jnp.asarray(b) for _, b in layers),
+        activation=activation,
+    )
+
+
+def _reference_load_member(symbols: tp.Sequence[str], networks_dir) -> AtomicNetworks:
+    networks_dir = Path(networks_dir)
+    first = _single_nnf_layers(networks_dir / f"ANN-{symbols[0]}.nnf")
+    in_dim = first[1][0]
+    return load_atomic_networks(networks_dir, symbols, in_dim)
+
+
+def load_ensemble(symbols: tp.Sequence[str], prefix, count: int) -> Ensemble:
+    """Load an ensemble from NeuroChem member dirs sharing a prefix
+    (reference ``neurochem.py:320-337``)."""
+    members = [
+        _reference_load_member(symbols, model_dir_from_prefix(prefix, i))
+        for i in range(count)
+    ]
+    return Ensemble.from_members(members)
+
+
+@dataclass
+class NeurochemInfo:
+    """Paths parsed from a NeuroChem ``.info`` file (reference
+    ``neurochem.py:340-370``)."""
+
+    const: Path
+    sae: Path
+    ensemble_prefix: Path
+    ensemble_size: int
+
+    @classmethod
+    def from_info_file(cls, info_file_path) -> "NeurochemInfo":
+        info_file_path = Path(info_file_path)
+        lines = [
+            ln.strip()
+            for ln in info_file_path.read_text().splitlines()
+            if ln.strip()
+        ][:4]
+        root = info_file_path.parent
+        return cls(
+            const=root / lines[0],
+            sae=root / lines[1],
+            ensemble_prefix=root / lines[2],
+            ensemble_size=int(lines[3]),
+        )
+
+
+def modules_from_info(
+    info: NeurochemInfo,
+    model_index: tp.Optional[int] = None,
+    strategy: str = "auto",
+):
+    """(aev_computer, container, self_energy, symbols) from parsed info
+    (reference ``neurochem.py:392-420``)."""
+    aev, symbols = load_aev_computer_and_symbols(info.const)
+    if strategy != "auto":
+        aev = aev.set_strategy(strategy)
+    shifter = load_sae(info.sae)
+    if model_index is None:
+        container = load_ensemble(symbols, info.ensemble_prefix, info.ensemble_size)
+    else:
+        container = _reference_load_member(
+            symbols, model_dir_from_prefix(info.ensemble_prefix, model_index)
+        )
+    return aev, container, shifter, symbols
+
+
+def modules_from_info_file(
+    info_file, model_index: tp.Optional[int] = None, strategy: str = "auto"
+):
+    """`modules_from_info` over a ``.info`` file path."""
+    return modules_from_info(
+        NeurochemInfo.from_info_file(info_file), model_index, strategy
+    )
+
+
+#: Reference-name alias of `load_model_from_info`.
+def load_model_from_info_file(info_file, model_index: tp.Optional[int] = None):
+    return load_model_from_info(info_file, model_index)
+
+
+def download_model_parameters(root=None, verbose: bool = True) -> None:
+    """Unavailable here: this build runs without network egress (reference
+    downloads the ani-model-zoo, ``neurochem.py:373-389``).  Place the zoo
+    under `torchani_tpu.paths.neurochem_dir` instead."""
+    from torchani_tpu.paths import neurochem_dir
+
+    root = Path(root) if root is not None else neurochem_dir()
+    if root.exists() and any(root.iterdir()):
+        if verbose:
+            print("Found existing files in directory, assuming params present")
+        return
+    raise RuntimeError(
+        "download_model_parameters is unavailable in this environment (no "
+        f"network egress). Place the ani-model-zoo files under {root} instead."
+    )
+
+
+def modules_from_model_name(name: str, model_index: tp.Optional[int] = None):
+    """Resolve a published model name (e.g. ``ani-2x_8x``) against the local
+    NeuroChem zoo dir (reference ``neurochem.py`` download path)."""
+    from torchani_tpu.paths import neurochem_dir
+
+    root = neurochem_dir()
+    candidates = [
+        root / f"{name}.info",
+        root / name / f"{name}.info",
+        root / "ani-model-zoo-ani-2x" / "resources" / f"{name}.info",
+    ]
+    for c in candidates:
+        if c.is_file():
+            return modules_from_info_file(c, model_index)
+    raise FileNotFoundError(
+        f"No NeuroChem info file for {name!r} under {root} (no network "
+        "egress; place the ani-model-zoo files there manually)"
+    )
+
+
+def load_model_from_name(name: str, model_index: tp.Optional[int] = None):
+    """Build a full ANI model from a published model name resolved locally."""
+    from torchani_tpu.paths import neurochem_dir
+
+    root = neurochem_dir()
+    for c in (
+        root / f"{name}.info",
+        root / name / f"{name}.info",
+        root / "ani-model-zoo-ani-2x" / "resources" / f"{name}.info",
+    ):
+        if c.is_file():
+            return load_model_from_info(c, model_index)
+    raise FileNotFoundError(
+        f"No NeuroChem info file for {name!r} under {root}"
+    )
+
+
+#: Reference dataclass name for the ``.nnf`` layer spec.
+NeurochemLayerSpec = _LayerSpec

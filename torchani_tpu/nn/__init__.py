@@ -8,13 +8,40 @@ from torchani_tpu.nn.containers import (
     SpeciesConverter,
     parse_activation,
 )
+from torchani_tpu.nn.core import (
+    AtomicContainer,
+    AtomicEmbedding,
+    AtomicNetwork,
+    AtomicOneHot,
+    BmmAtomicNetwork,
+    BmmEnsemble,
+    BmmLinear,
+    MNPNetworks,
+    Sequential,
+    TightCELU,
+)
+
+#: Legacy alias: the reference exports ``ANIModel`` as the pre-2.x name of
+#: ``ANINetworks`` (reference ``nn/_internal.py:13-20``).
+ANIModel = ANINetworks
 
 __all__ = [
+    "ANIModel",
     "ANISharedNetworks",
     "SingleNN",
     "ANINetworks",
     "AtomicNetworks",
+    "AtomicContainer",
+    "AtomicEmbedding",
+    "AtomicNetwork",
+    "AtomicOneHot",
+    "BmmAtomicNetwork",
+    "BmmEnsemble",
+    "BmmLinear",
+    "MNPNetworks",
     "Ensemble",
+    "Sequential",
     "SpeciesConverter",
+    "TightCELU",
     "parse_activation",
 ]

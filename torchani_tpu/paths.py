@@ -6,7 +6,10 @@ TPU-native rebuild.
 """
 
 import os
+import typing as tp
 from pathlib import Path
+
+_data_dir_override: tp.Optional[Path] = None
 
 
 def resources_dir() -> Path:
@@ -14,16 +17,37 @@ def resources_dir() -> Path:
     return Path(__file__).resolve().parent / "resources"
 
 
+def set_data_dir(path: tp.Union[str, Path, None]) -> None:
+    """Override the data root for this process (reference ``paths.py`` name).
+
+    ``None`` restores the default (env var or ``~/.local/share``) resolution.
+    """
+    global _data_dir_override
+    _data_dir_override = None if path is None else Path(path)
+
+
 def data_dir() -> Path:
     """Root directory for downloaded/user data (datasets, state dicts).
 
-    Override with the ``TORCHANI_TPU_DATA_DIR`` environment variable.
+    Resolution order: `set_data_dir` override, ``TORCHANI_TPU_DATA_DIR``,
+    ``TORCHANI_DATA_DIR`` (reference-compatible), then
+    ``~/.local/share/TorchaniTPU``.
     """
-    env = os.getenv("TORCHANI_TPU_DATA_DIR")
-    if env:
-        d = Path(env)
+    if _data_dir_override is not None:
+        d = _data_dir_override
     else:
-        d = Path.home() / ".local" / "share" / "TorchaniTPU"
+        env = os.getenv("TORCHANI_TPU_DATA_DIR") or os.getenv("TORCHANI_DATA_DIR")
+        if env:
+            d = Path(env)
+        else:
+            d = Path.home() / ".local" / "share" / "TorchaniTPU"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def neurochem_dir() -> Path:
+    """Directory for NeuroChem-format model files (reference ``paths.py``)."""
+    d = data_dir() / "Neurochem"
     d.mkdir(parents=True, exist_ok=True)
     return d
 

@@ -187,3 +187,87 @@ class BasePairPotential(Potential):
     def to_pair_values(self, table: Array, elem_center: Array, elem_nbr: Array) -> Array:
         """Look up per-lane values from a symmetric (S, S) table."""
         return table[elem_center, elem_nbr]
+
+
+class PairPotential(BasePairPotential):
+    """User-friendly declarative pair potential (reference ``core.py:222-304``).
+
+    Subclasses declare parameter names in three class attributes —
+    ``tensors`` (scalars or same-length vectors), ``elem_tensors`` (shape
+    ``(S,)``) and ``pair_elem_tensors`` (triu order ``HH, HC, HO, CC, ...``,
+    length ``S(S+1)/2``, stored as a symmetric ``(S, S)`` table) — and
+    implement `pair_energies`, reading each value as ``self.<name>``::
+
+        class Square(PairPotential):
+            tensors = ["bias"]
+            pair_elem_tensors = ["k", "eq"]
+
+            def pair_energies(self, elem_flat, neighbors):
+                center, nbr = self.elem_pairs(elem_flat, neighbors)
+                eq = self.to_pair_values(self.eq, center, nbr)
+                k = self.to_pair_values(self.k, center, nbr)
+                return self.bias + k / 2 * (neighbors.dist - eq) ** 2
+
+        pot = Square.make(symbols=("H", "C", "O"), k=k, eq=eq, bias=0.1)
+
+    ``trainable`` is accepted for signature parity; every stored array is a
+    pytree leaf, so optax masking decides what actually trains.
+    """
+
+    tensors: tp.ClassVar[tp.List[str]] = []
+    elem_tensors: tp.ClassVar[tp.List[str]] = []
+    pair_elem_tensors: tp.ClassVar[tp.List[str]] = []
+    params: tp.Dict[str, Array] = None
+
+    def __getattr__(self, name: str):
+        params = object.__getattribute__(self, "params") or {}
+        if name in params:
+            return params[name]
+        raise AttributeError(name)
+
+    @classmethod
+    def make(
+        cls,
+        symbols: tp.Sequence[str],
+        *,
+        trainable: tp.Union[str, tp.Sequence[str]] = (),
+        cutoff: float = math.inf,
+        cutoff_fn: CutoffArg = "smooth",
+        **kwargs,
+    ) -> "PairPotential":
+        from torchani_tpu.aev.terms import _validate_user_kwargs
+
+        symbols = tuple(symbols)
+        s = len(symbols)
+        if isinstance(trainable, str):
+            trainable = [trainable]
+        _validate_user_kwargs(
+            cls.__name__,
+            {
+                "tensors": cls.tensors,
+                "elem_tensors": cls.elem_tensors,
+                "pair_elem_tensors": cls.pair_elem_tensors,
+            },
+            kwargs,
+            trainable,
+        )
+        params = {}
+        for k, v in kwargs.items():
+            arr = np.asarray(v, dtype=np.float32)
+            if k in cls.elem_tensors and arr.shape != (s,):
+                raise ValueError(f"{k} must have shape ({s},), got {arr.shape}")
+            if k in cls.pair_elem_tensors:
+                if arr.shape != (s * (s + 1) // 2,):
+                    raise ValueError(
+                        f"{k} must have {s * (s + 1) // 2} triu-ordered "
+                        f"values, got shape {arr.shape}"
+                    )
+                params[k] = cls.pack_pair_table(arr, s)
+            else:
+                params[k] = jnp.asarray(arr)
+        return cls(
+            symbols=symbols,
+            cutoff=cutoff,
+            cutoff_fn=parse_cutoff_fn(cutoff_fn),
+            params=params,
+        )

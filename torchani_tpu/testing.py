@@ -4,7 +4,19 @@ import typing as tp
 
 import numpy as np
 
-__all__ = ["make_molecs", "make_water_box"]
+__all__ = [
+    "make_molecs",
+    "make_water_box",
+    "Molecs",
+    "make_molec",
+    "make_reference_molecs",
+    "make_elem_idxs",
+    "make_neighbors",
+    "make_tensor",
+    "ANITestCase",
+    "TestCase",
+    "expand",
+]
 
 
 def make_molecs(
@@ -85,3 +97,148 @@ def make_water_box(
     coords = np.concatenate(coords_list, axis=0).astype(np.float32)[None]
     cell = np.eye(3, dtype=np.float32) * box
     return species, coords, cell
+
+
+# ---- reference-parity test harness (reference ``_testing.py:20-182``) ------
+
+
+class Molecs(tp.NamedTuple):
+    """A group of molecules (reference ``_testing.py:86-91``)."""
+
+    coords: tp.Any
+    atomic_nums: tp.Any
+    cell: tp.Optional[tp.Any]
+    pbc: tp.Optional[tp.Any]
+
+
+def make_tensor(shape, low: float = 0.0, high: float = 1.0, seed: int = 0):
+    """Random f32 array in [low, high) (torch ``make_tensor`` analog)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(
+        (rng.rand(*shape) * (high - low) + low).astype(np.float32)
+    )
+
+
+def make_elem_idxs(
+    molecs_num: int,
+    atoms_num: int,
+    symbols: tp.Sequence[str] = ("H", "C", "N", "O"),
+    seed: tp.Optional[int] = None,
+):
+    """Random element-index batch (reference ``_testing.py:94-114``)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(
+        rng.randint(0, len(symbols), size=(molecs_num, atoms_num)).astype(
+            np.int32
+        )
+    )
+
+
+def make_molec(
+    atoms: int,
+    cell_size: float = 10.0,
+    pbc: bool = False,
+    symbols: tp.Sequence[str] = ("H", "C", "N", "O"),
+    seed: tp.Optional[int] = None,
+) -> Molecs:
+    """One random molecule as a `Molecs` (reference ``_testing.py:155-164``)."""
+    return make_reference_molecs(1, atoms, cell_size, pbc, symbols, seed)
+
+
+def make_reference_molecs(
+    molecs_num: int,
+    atoms_num: int,
+    cell_size: float = 10.0,
+    pbc: bool = False,
+    symbols: tp.Sequence[str] = ("H", "C", "N", "O"),
+    seed: tp.Optional[int] = None,
+) -> Molecs:
+    """Random molecule batch in the reference's `Molecs` layout
+    (``_testing.py:117-152``; the 2-tuple `make_molecs` above predates it)."""
+    import jax.numpy as jnp
+
+    from torchani_tpu.constants import ATOMIC_NUMBER
+
+    rng = np.random.RandomState(seed)
+    coords = (rng.rand(molecs_num, atoms_num, 3) * cell_size + 1e-3).astype(
+        np.float32
+    )
+    kinds = np.asarray([ATOMIC_NUMBER[s] for s in symbols])
+    nums = kinds[rng.randint(0, len(symbols), size=(molecs_num, atoms_num))]
+    if pbc:
+        cell = jnp.eye(3, dtype=jnp.float32) * (cell_size + 2e-3)
+        pbc_arr = jnp.asarray([True, True, True])
+    else:
+        cell = None
+        pbc_arr = None
+    return Molecs(jnp.asarray(coords), jnp.asarray(nums), cell, pbc_arr)
+
+
+def make_neighbors(
+    atoms: int,
+    cutoff: float = 5.2,
+    symbols: tp.Sequence[str] = ("H", "C", "N", "O"),
+    seed: tp.Optional[int] = None,
+):
+    """Random molecule's neighbor table (reference ``_testing.py:167-177``)."""
+    from torchani_tpu.neighbors import adaptive_list
+    from torchani_tpu.nn import SpeciesConverter
+
+    molec = make_molec(atoms, 10.0, False, symbols, seed)
+    elem = SpeciesConverter(tuple(symbols))(molec.atomic_nums)
+    return adaptive_list(cutoff, elem, molec.coords)
+
+
+def expand(jit: tp.Optional[bool] = None, platform: str = "current"):
+    """Class decorator multiplying an `ANITestCase` over {jit, nojit}.
+
+    The TPU analog of the reference's {cpu, cuda} x {jit, nojit} harness
+    (``_testing.py:25-50``): devices are managed by JAX platform config
+    (tests pin the CPU backend in conftest), so the axis that remains is
+    eager vs ``jax.jit`` execution.
+    """
+    import unittest
+
+    jits = (False, True) if jit is None else (bool(jit),)
+
+    def decorator(cls):
+        module = __import__(cls.__module__, fromlist=["__name__"])
+        for use_jit in jits:
+            name = f"{cls.__name__}{'_jit' if use_jit else ''}"
+            new_cls = type(name, (cls,), {"_jit": use_jit})
+            setattr(module, name, new_cls)
+        # replace the original with a skipped placeholder so it doesn't
+        # double-run unparameterized
+        return unittest.skip("expanded into jit/nojit variants")(cls)
+
+    return decorator
+
+
+import unittest as _unittest  # noqa: E402
+
+TestCase = _unittest.TestCase
+
+
+class ANITestCase(_unittest.TestCase):
+    """unittest.TestCase base with a jit axis (reference ``_testing.py:57-83``).
+
+    ``self._setup(fn)`` returns ``jax.jit(fn)`` in jit variants and ``fn``
+    otherwise, so one test body covers both execution modes.
+    """
+
+    _jit: bool = False
+
+    @property
+    def jit(self) -> bool:
+        return self._jit
+
+    def _setup(self, fn):
+        if self._jit:
+            import jax
+
+            return jax.jit(fn)
+        return fn

@@ -17,6 +17,7 @@ __all__ = [
     "load_checkpoint",
     "latest_step",
     "merge_members",
+    "merge_state_dicts",
 ]
 
 
@@ -68,3 +69,35 @@ def merge_members(containers: tp.Sequence) -> "tp.Any":
     from torchani_tpu.nn import Ensemble
 
     return Ensemble.from_members(list(containers))
+
+
+def merge_state_dicts(paths: tp.Iterable) -> tp.Dict[str, np.ndarray]:
+    """Merge single-model state dicts into an ensemble state dict.
+
+    Reference ``utils.py:476-505`` semantics: ``neural_networks.*`` keys of
+    the j-th (sorted) file become ``neural_networks.{j}.*``; all other keys
+    must agree across files.  Accepts torch ``.pt`` files (via
+    `torchani_tpu.convert.load_torch_state_dict`, incl. lightning-format
+    ``{"state_dict": {"model.*": ...}}`` tolerance) or ``.npz`` files.
+    """
+    paths = sorted(Path(p) for p in paths)
+    if any(not p.is_file() for p in paths):
+        raise ValueError("All passed paths must be existing files with state dicts")
+    merged: tp.Dict[str, np.ndarray] = {}
+    for j, path in enumerate(paths):
+        if path.suffix == ".npz":
+            sd = dict(np.load(path))
+        else:
+            from torchani_tpu.convert import load_torch_state_dict
+
+            sd = load_torch_state_dict(path)  # handles lightning layout
+        for k, v in sd.items():
+            if "neural_networks" in k:
+                k = k.replace("neural_networks", f"neural_networks.{j}")
+            elif j > 0:
+                prev = merged.get(k)
+                if prev is None or prev.shape != np.shape(v):
+                    raise ValueError(f"Mismatched non-network key {k!r}")
+                continue
+            merged[k] = np.asarray(v)
+    return merged

@@ -17,9 +17,12 @@ from torchani_tpu.sae import SelfEnergy
 __all__ = [
     "Transform",
     "Compose",
+    "Identity",
     "AtomicNumbersToIndices",
     "SubtractSAE",
     "SubtractEnergyAndForce",
+    "SubtractRepulsionXTB",
+    "SubtractTwoBodyDispersionD3",
     "identity",
 ]
 
@@ -43,12 +46,15 @@ class Compose(Transform):
         return properties
 
 
-class _Identity(Transform):
+class Identity(Transform):
+    """Pass-through transform (reference ``transforms.py:67-75``)."""
+
     def __call__(self, properties: Properties) -> Properties:
         return properties
 
 
-identity = _Identity()
+_Identity = Identity  # old internal name
+identity = Identity()
 
 
 class AtomicNumbersToIndices(Transform):
@@ -125,3 +131,39 @@ class SubtractEnergyAndForce(Transform):
             pot_e
         ).astype(np.float64)
         return out
+
+
+class SubtractRepulsionXTB(Transform):
+    """Subtract xTB repulsion energies/forces (reference ``transforms.py:109``).
+
+    Takes the arguments of `torchani_tpu.potentials.RepulsionXTB.make`.
+    """
+
+    def __init__(self, *args, subtract_force: bool = True, **kwargs) -> None:
+        from torchani_tpu.potentials import RepulsionXTB
+
+        self._transform = SubtractEnergyAndForce(
+            RepulsionXTB.make(*args, **kwargs), subtract_forces=subtract_force
+        )
+
+    def __call__(self, properties: Properties) -> Properties:
+        return self._transform(properties)
+
+
+class SubtractTwoBodyDispersionD3(Transform):
+    """Subtract 2-body DFT-D3 energies/forces (reference ``transforms.py:131``).
+
+    Takes the arguments of
+    `torchani_tpu.potentials.TwoBodyDispersionD3.from_functional`.
+    """
+
+    def __init__(self, *args, subtract_force: bool = True, **kwargs) -> None:
+        from torchani_tpu.potentials import TwoBodyDispersionD3
+
+        self._transform = SubtractEnergyAndForce(
+            TwoBodyDispersionD3.from_functional(*args, **kwargs),
+            subtract_forces=subtract_force,
+        )
+
+    def __call__(self, properties: Properties) -> Properties:
+        return self._transform(properties)

@@ -9,6 +9,7 @@ helpers are pure jnp and jit-safe.
 import math
 import typing as tp
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -264,3 +265,35 @@ def download_and_extract(*args: tp.Any, **kwargs: tp.Any) -> None:
         "download_and_extract is unavailable in this environment (no network "
         "egress). Place the archive under the torchani_tpu data root instead."
     )
+
+
+def nonzero_in_chunks(x: Array, chunk_size: int = 2**31 - 1) -> Array:
+    """Flat indices of nonzero elements (reference ``utils.py:139-162``).
+
+    The reference works around torch's INT_MAX nonzero limit by chunking;
+    the XLA-side analog of compaction is masking (dynamic shapes don't jit),
+    so this host-side helper exists for eager dataset/utility code only.
+    """
+    flat = np.asarray(jax.device_get(x)).reshape(-1)
+    return jnp.asarray(np.flatnonzero(flat))
+
+
+def fast_masked_select(x: Array, mask: Array, idx: int = 0) -> Array:
+    """``x[mask]`` along axis ``idx`` (reference ``utils.py:165-171``).
+
+    Eager-only (the result shape is data-dependent); inside jit use masked
+    operations instead.
+    """
+    return jnp.take(jnp.asarray(x), nonzero_in_chunks(mask), axis=idx)
+
+
+def __getattr__(name: str):  # lazy aliases, avoiding circular imports
+    if name == "EnergyShifter":
+        from torchani_tpu.sae import SelfEnergy
+
+        return SelfEnergy
+    if name == "merge_state_dicts":
+        from torchani_tpu.training.checkpoints import merge_state_dicts
+
+        return merge_state_dicts
+    raise AttributeError(f"module 'torchani_tpu.utils' has no attribute {name!r}")
