@@ -28,6 +28,13 @@ def main():
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--angular-capacity", type=int, default=None)
     parser.add_argument("--atom-block", type=int, default=None)
+    parser.add_argument(
+        "--realistic",
+        action="store_true",
+        help="chain-bonded (GDB-like) molecules + density-bucketed "
+        "per-batch angular capacities instead of uniform-random dense "
+        "molecules at full capacity",
+    )
     args = parser.parse_args()
 
     import jax
@@ -65,41 +72,96 @@ def main():
         pots = dict(model.potentials)
         pots["nnp"] = nnp.replace(aev_computer=aevc)
         model = model.replace(potentials=pots)
-    species, coords = make_molecs(args.batch_size, args.max_atoms, seed=0)
-    batch = {
-        "species": jnp.asarray(species),
-        "coordinates": jnp.asarray(coords),
-        "energies": jnp.asarray(
-            np.random.RandomState(1).randn(args.batch_size).astype(np.float32)
-        ),
-        "forces": jnp.zeros_like(jnp.asarray(coords)),
-    }
-    init_fn, step_fn = make_train_step(
-        model, optax.adamw(1e-3), force_training=args.force_training
-    )
-    state = init_fn()
+    def time_step(step_fn, batch, capacity=None):
+        """ms/step via `iters` scanned steps in one program (a per-step loss
+        fetch costs ~30 ms tunnel RTT; see CLAUDE.md measurement rules)."""
+        init_fn, _ = make_train_step(
+            model, optax.adamw(1e-3), force_training=args.force_training
+        )
+        m = model
+        if capacity is not None:
+            from torchani_tpu.training.loop import _model_with_angular_capacity
 
-    # Time `iters` optimizer steps inside ONE device program: a per-step
-    # loss fetch costs a ~30 ms tunnel round-trip here, which contaminates
-    # per-call timing (see CLAUDE.md measurement rules).
-    @jax.jit
-    def chunk(state):
-        def body(st, _):
-            st, metrics = step_fn(st, batch)
-            return st, metrics["loss"]
+            m = _model_with_angular_capacity(model, capacity)
+        _, step = make_train_step(
+            m, optax.adamw(1e-3), force_training=args.force_training
+        )
+        state = init_fn()
 
-        return jax.lax.scan(body, state, None, length=args.iters)
+        @jax.jit
+        def chunk(state):
+            def body(st, _):
+                st, metrics = step(st, batch)
+                return st, metrics["loss"]
 
-    st2, losses = chunk(state)
-    _ = float(losses[-1])  # compile + sync
-    t0 = time.perf_counter()
-    st2, losses = chunk(state)
-    _ = float(losses[-1])
-    dt = (time.perf_counter() - t0) / args.iters
+            return jax.lax.scan(body, state, None, length=args.iters)
+
+        st2, losses = chunk(state)
+        _ = float(losses[-1])  # compile + sync
+        t0 = time.perf_counter()
+        st2, losses = chunk(state)
+        _ = float(losses[-1])
+        return (time.perf_counter() - t0) / args.iters * 1e3
+
+    def as_batch(species, coords):
+        n = species.shape[0]
+        return {
+            "species": jnp.asarray(species),
+            "coordinates": jnp.asarray(coords),
+            "energies": jnp.asarray(
+                np.random.RandomState(1).randn(n).astype(np.float32)
+            ),
+            "forces": jnp.zeros((n,) + coords.shape[1:], jnp.float32),
+        }
+
+    if args.realistic:
+        # GDB-like chain molecules, density-bucketed per-batch capacities
+        # (Batcher.gather_batches(density_cutoff=...) semantics, reproduced
+        # in-memory): most batches run at a small angular capacity.
+        from torchani_tpu.testing import make_chain_molecs
+
+        n_sample = args.batch_size * 8
+        species, coords = make_chain_molecs(n_sample, args.max_atoms, seed=0)
+        r_ang = float(model.potentials["nnp"].aev_computer.angular.cutoff)
+        stats = []
+        for i in range(n_sample):
+            real = species[i] >= 0
+            pos = coords[i][real]
+            d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+            np.fill_diagonal(d, np.inf)
+            stats.append(int((d < r_ang).sum(1).max()))
+        buckets = (8, 12, 16, 20, 24, 32)
+        order = np.argsort(
+            [np.searchsorted(buckets, s) for s in stats], kind="stable"
+        )
+        species, coords = species[order], coords[order]
+        stats = np.asarray(stats)[order]
+        batch_caps = []
+        for b0 in range(0, n_sample, args.batch_size):
+            worst = stats[b0: b0 + args.batch_size].max()
+            batch_caps.append(next(c for c in buckets if c >= worst))
+        hist = {c: batch_caps.count(c) for c in sorted(set(batch_caps))}
+        print(f"capacity histogram over {len(batch_caps)} batches: {hist}")
+        total_ms = 0.0
+        for cap in sorted(set(batch_caps)):
+            b0 = batch_caps.index(cap) * args.batch_size
+            batch = as_batch(
+                species[b0: b0 + args.batch_size],
+                coords[b0: b0 + args.batch_size],
+            )
+            ms = time_step(None, batch, capacity=cap)
+            total_ms += ms * batch_caps.count(cap)
+            print(f"  capacity {cap}: {ms:.1f} ms/step x{batch_caps.count(cap)}")
+        dt = total_ms / len(batch_caps) / 1e3
+    else:
+        species, coords = make_molecs(args.batch_size, args.max_atoms, seed=0)
+        dt = time_step(None, as_batch(species, coords)) / 1e3
+
     samples_s = args.batch_size / dt
     print(
         f"batch {args.batch_size} x {args.max_atoms} atoms, "
-        f"ensemble {args.ensemble}, force_training={args.force_training}: "
+        f"ensemble {args.ensemble}, force_training={args.force_training}, "
+        f"realistic={args.realistic}: "
         f"{dt * 1e3:.1f} ms/step = {samples_s:,.0f} samples/s"
     )
     # reference scale: ANI-1x training set ~4.96M conformers

@@ -6,6 +6,7 @@ import numpy as np
 
 __all__ = [
     "make_molecs",
+    "make_chain_molecs",
     "make_water_box",
     "Molecs",
     "make_molec",
@@ -242,3 +243,48 @@ class ANITestCase(_unittest.TestCase):
 
             return jax.jit(fn)
         return fn
+
+
+def make_chain_molecs(
+    num: int,
+    max_atoms: int,
+    seed: int = 0,
+    znums: tp.Sequence[int] = (1, 6, 7, 8),
+) -> tp.Tuple[np.ndarray, np.ndarray]:
+    """Random tree-bonded (GDB-like) molecule batch.
+
+    Unlike `make_molecs` (uniform points in a 4 A box — every atom within
+    every cutoff of every other, maximally dense neighbor tables), atoms
+    grow as a random tree with ~1.4 A bonds and a 0.9 A exclusion radius:
+    realistic molecular geometry where the within-3.5-A angular neighbor
+    count is O(10), not O(atoms).  Returns (species (C, A), coords (C, A, 3))
+    with -1/zero padding.
+    """
+    rng = np.random.RandomState(seed)
+    species = np.full((num, max_atoms), -1, dtype=np.int64)
+    coords = np.zeros((num, max_atoms, 3), dtype=np.float32)
+    for i in range(num):
+        n = rng.randint(3, max_atoms + 1)
+        species[i, :n] = rng.choice(znums, size=n)
+        pos = np.zeros((n, 3))
+        degree = np.zeros(n, dtype=np.int64)
+        for a in range(1, n):
+            for _attempt in range(20):
+                # attach to a random existing atom with low degree
+                weights = 1.0 / (1.0 + degree[:a]) ** 2
+                parent = rng.choice(a, p=weights / weights.sum())
+                direction = rng.randn(3)
+                direction /= np.linalg.norm(direction)
+                bond = 1.4 + rng.randn() * 0.08
+                cand = pos[parent] + direction * bond
+                d = np.linalg.norm(pos[:a] - cand, axis=1)
+                # non-bonded exclusion ~ VdW contact; the bonded parent sits
+                # at ~1.4 A and is exempt
+                d[parent] = np.inf
+                if np.all(d > 1.6):
+                    break
+            pos[a] = cand
+            degree[parent] += 1
+            degree[a] += 1
+        coords[i, :n] = pos + rng.randn(1, 3) * 0.01
+    return species, coords

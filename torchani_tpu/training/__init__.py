@@ -9,13 +9,17 @@ from torchani_tpu.training.schedules import ReduceLROnPlateau, adamw_with_platea
 from torchani_tpu.training.loop import (
     TrainState,
     energy_force_loss,
+    make_bucketed_train_step,
     make_train_step,
+    tune_angular_capacity,
 )
 
 __all__ = [
     "TrainState",
     "energy_force_loss",
     "make_train_step",
+    "make_bucketed_train_step",
+    "tune_angular_capacity",
     "save_checkpoint",
     "load_checkpoint",
     "merge_members",
