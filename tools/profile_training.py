@@ -50,6 +50,14 @@ def main():
     model = model.replace(
         energy_shifter=model.energy_shifter.replace(enabled=False)
     )
+    cap = next(
+        (a.split("=")[1] for a in sys.argv if a.startswith("--angular-capacity=")),
+        None,
+    )
+    if cap is not None:
+        from torchani_tpu.training.loop import _model_with_angular_capacity
+
+        model = _model_with_angular_capacity(model, int(cap))
     species, coords = make_molecs(batch_size, 26, seed=0)
     batch = {
         "species": jnp.asarray(species),

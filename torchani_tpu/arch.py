@@ -507,6 +507,23 @@ class Assembler:
     def assemble(
         self, ensemble_size: int = 1, key: tp.Optional[jax.Array] = None
     ) -> ANI:
+        # Model construction is eager (many tiny PRNG/constant ops).  On an
+        # accelerator backend each eager op compiles+dispatches individually
+        # — minutes over this environment's tunneled TPU — so build on the
+        # host CPU; the (uncommitted) arrays migrate to the accelerator at
+        # first jitted use with no semantic difference.
+        try:
+            cpu = jax.devices("cpu")
+        except RuntimeError:
+            cpu = []
+        if cpu:
+            with jax.default_device(cpu[0]):
+                return self._assemble(ensemble_size, key)
+        return self._assemble(ensemble_size, key)
+
+    def _assemble(
+        self, ensemble_size: int = 1, key: tp.Optional[jax.Array] = None
+    ) -> ANI:
         if self.symbols is None:
             raise ValueError("Symbols must be set before assembling")
         if key is None:

@@ -281,8 +281,14 @@ def create_batched_dataset(
     transform: Transform = identity,
     rng_seed: tp.Optional[int] = None,
     shuffle: bool = True,
+    density_cutoff: tp.Optional[float] = None,
 ) -> Path:
-    """Create an on-disk batched dataset (one npz per batch per division)."""
+    """Create an on-disk batched dataset (one npz per batch per division).
+
+    ``density_cutoff`` enables per-batch angular-capacity bucketing (see
+    `Batcher.gather_batches`); the capacity rides in each batch file and in
+    the creation log.
+    """
     if not isinstance(dataset, ANIDataset):
         dataset = ANIDataset(dataset)
     dest = Path(dest_path)
@@ -296,11 +302,14 @@ def create_batched_dataset(
         "divisions": {k: len(v) for k, v in divisions.items()},
         "properties": sorted(properties or dataset.properties),
     }
+    if density_cutoff is not None:
+        log["density_cutoff"] = density_cutoff
     for name, pairs in divisions.items():
         ddir = dest / name
         ddir.mkdir(exist_ok=True)
         batches = batcher.gather_batches(
-            dataset, pairs, batch_size, properties, transform
+            dataset, pairs, batch_size, properties, transform,
+            density_cutoff=density_cutoff,
         )
         for i, batch in enumerate(batches):
             np.savez_compressed(ddir / f"batch_{i:06d}.npz", **batch)
@@ -316,6 +325,7 @@ def batch_all_in_ram(
     transform: Transform = identity,
     rng_seed: tp.Optional[int] = None,
     shuffle: bool = True,
+    density_cutoff: tp.Optional[float] = None,
 ) -> tp.Dict[str, ANIBatchedInMemoryDataset]:
     """Create all divisions as in-memory batch lists."""
     if not isinstance(dataset, ANIDataset):
@@ -324,7 +334,10 @@ def batch_all_in_ram(
     divisions = batcher.divide(dataset, splits)
     return {
         name: ANIBatchedInMemoryDataset(
-            batcher.gather_batches(dataset, pairs, batch_size, properties, transform)
+            batcher.gather_batches(
+                dataset, pairs, batch_size, properties, transform,
+                density_cutoff=density_cutoff,
+            )
         )
         for name, pairs in divisions.items()
     }
