@@ -71,7 +71,7 @@ def main():
         model, optax.adamw(1e-3), force_training=not energy_only
     )
     state = init_fn()
-    reps = 10
+    reps = 3
 
     @jax.jit
     def chunk(state):
@@ -81,8 +81,10 @@ def main():
 
         return jax.lax.scan(body, state, None, length=reps)
 
+    print("compiling...", flush=True)
     st2, losses = chunk(state)
     _ = float(losses[-1])
+    print("compiled; tracing...", flush=True)
 
     mode = "e" if energy_only else "ef"
     logdir = f"/tmp/trainprof_{mode}"
@@ -90,6 +92,7 @@ def main():
         st2, losses = chunk(state)
         _ = float(losses[-1])
 
+    print("parsing trace...", flush=True)
     paths = glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)
     if not paths:
         print("NO TRACE FILES under", logdir)
