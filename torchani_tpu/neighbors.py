@@ -207,24 +207,57 @@ def _pack_positions(valid: Array, capacity: int) -> tp.Tuple[Array, Array, Array
     return pos, mask, overflow
 
 
+#: Above this many candidate lanes per row, the one-hot packing contraction
+#: is replaced by ``take_along_axis`` (its compute grows with rows*N*K; the
+#: adaptive-list thresholds keep all_pairs systems far below this).
+_ONEHOT_PACK_MAX_CANDIDATES = 8192
+
+
 def _extract_rows(
     valid: Array,  # (A, N) bool, candidate mask per center atom
     cand_idx: Array,  # (A, N) int32 candidate neighbor atom index
     cand_shift: tp.Optional[Array],  # (A, N, 3) or None
     coords_flat: Array,  # (A, 3)
     capacity: int,
-) -> tp.Tuple[Array, Array, tp.Optional[Array], Array]:
+    cand_elem: tp.Optional[Array] = None,  # (A, N) candidate species
+) -> tp.Tuple[Array, Array, tp.Optional[Array], Array, tp.Optional[Array]]:
     """Pack the valid candidates of each row into ``capacity`` lanes.
 
     Deterministic: preserves candidate order (not distance-sorted), so results
     are independent of XLA reduction scheduling.
+
+    Packing applies the per-row ``top_k`` positions as a one-hot contraction
+    (`lane_permute`): ``take_along_axis`` lane gathers lower to
+    element-at-a-time TPU code and cost ~14 ms/step on the training batch
+    shape (profiled: fusion at neighbors.py ``take_along_axis``); the
+    contraction is exact (int payloads < 2^24 ride as f32) and fuses.
     """
     pos, mask, overflow = _pack_positions(valid, capacity)
-    idx = jnp.take_along_axis(cand_idx, pos, axis=1)
-    shift = None
+    n = valid.shape[1]
+    payloads: tp.List[Array] = [cand_idx]
     if cand_shift is not None:
-        shift = jnp.take_along_axis(cand_shift, pos[..., None], axis=1)
-    return idx, mask, shift, overflow
+        payloads.append(cand_shift)
+    if cand_elem is not None:
+        payloads.append(cand_elem)
+    if n <= _ONEHOT_PACK_MAX_CANDIDATES:
+        packed = lane_permute(list(payloads), pos)
+        packed = [
+            p.astype(jnp.int32) if orig.dtype.kind in "iu" else p
+            for p, orig in zip(packed, payloads)
+        ]
+    else:
+        packed = [
+            jnp.take_along_axis(
+                p, pos if p.ndim == 2 else pos[..., None], axis=1
+            )
+            for p in payloads
+        ]
+    idx = packed[0]
+    shift = packed[1] if cand_shift is not None else None
+    elem = packed[-1] if cand_elem is not None else None
+    if elem is not None:
+        elem = jnp.where(mask, elem, -1)
+    return idx, mask, shift, overflow, elem
 
 
 def _finalize(
@@ -233,6 +266,7 @@ def _finalize(
     mask: Array,  # (A, K)
     shift: tp.Optional[Array],  # (A, K, 3) cartesian shift or None
     overflow: Array,
+    elem: tp.Optional[Array] = None,  # (A, K) cached neighbor species
 ) -> Neighbors:
     """Recompute differentiable diff/dist from packed indices.
 
@@ -240,14 +274,32 @@ def _finalize(
     candidate screening above runs on detached geometry, mirroring reference
     ``narrow_down``'s detach-screen-recompute pattern).
     """
-    nbr_pos = jnp.take(coords_flat, jnp.where(mask, idx, 0), axis=0)
+    a = coords_flat.shape[0]
+    idx_safe = jnp.where(mask, idx, 0)
+    if a <= 2048:
+        # Small (within-molecule) index space: gather neighbor positions as
+        # a one-hot contraction — ``jnp.take``'s backward is a scatter-add
+        # (profiled at ~10 ms/step fwd + ~10 bwd on the training batch
+        # shape); the contraction's backward is the transposed contraction
+        # (a dense reduction, no scatter), and the forward is exact (a
+        # single 1.0 per lane selects one row).
+        sel = (
+            idx_safe[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, a), 2)
+        ).astype(coords_flat.dtype) * mask[:, :, None].astype(coords_flat.dtype)
+        nbr_pos = jnp.sum(
+            sel[..., None] * coords_flat[None, None, :, :], axis=2
+        )
+    else:
+        nbr_pos = jnp.take(coords_flat, idx_safe, axis=0)
     diff = nbr_pos - coords_flat[:, None, :]
     if shift is not None:
         diff = diff + shift
     diff = jnp.where(mask[..., None], diff, 0.0)
     dist = _safe_norm(diff, mask)
     return Neighbors(
-        idx=idx.astype(jnp.int32), mask=mask, diff=diff, dist=dist, overflow=overflow
+        idx=idx.astype(jnp.int32), mask=mask, diff=diff, dist=dist,
+        overflow=overflow, elem=elem,
     )
 
 
@@ -279,8 +331,11 @@ def _all_pairs_single(
         cand_idx = jnp.broadcast_to(
             jax.lax.broadcasted_iota(jnp.int32, (a, a), 1), (a, a)
         )
-        idx, mask, _, overflow = _extract_rows(valid, cand_idx, None, coords, capacity)
-        return _finalize(coords, idx, mask, None, overflow)
+        cand_elem = jnp.broadcast_to(elem_idxs[None, :], (a, a))
+        idx, mask, _, overflow, elem = _extract_rows(
+            valid, cand_idx, None, coords, capacity, cand_elem
+        )
+        return _finalize(coords, idx, mask, None, overflow, elem)
 
     # Periodic: (A, A * S) candidates over the static image-shift set
     assert cell is not None
@@ -313,10 +368,14 @@ def _all_pairs_single(
     cand_shift = jnp.broadcast_to(
         shifts_cart[None, None, :, :], (a, a, s, 3)
     ).reshape(a, a * s, 3)
-    idx, mask, shift, overflow = _extract_rows(
-        valid.reshape(a, a * s), cand_idx, cand_shift, coords, capacity
+    cand_elem = jnp.broadcast_to(
+        elem_idxs[None, :, None], (a, a, s)
+    ).reshape(a, a * s)
+    idx, mask, shift, overflow, elem = _extract_rows(
+        valid.reshape(a, a * s), cand_idx, cand_shift, coords, capacity,
+        cand_elem,
     )
-    return _finalize(coords, idx, mask, shift, overflow)
+    return _finalize(coords, idx, mask, shift, overflow, elem)
 
 
 def all_pairs(

@@ -169,14 +169,28 @@ class AtomicNetworks(struct.PyTreeNode):
             present = set(np.unique(host_elem).tolist())
             species_list = [s for s in species_list if s in present]
             # Static partition: each species' atom rows are known at trace
-            # time, so gather exactly those rows (static indices) and run
-            # that species' MLP at its true (unpadded) layer dims — no
-            # all-atoms x all-species or zero-padded-width waste.  This is
-            # the trace-time specialization of the reference's
-            # nonzero/index_select per-species loop (nn/_containers.py:412).
-            return self._atomic_scalars_static(
-                act, host_elem, x0, species_list
-            ).reshape(c, a, self.out_dim)
+            # time, so slice exactly those rows and run that species' MLP at
+            # its true (unpadded) layer dims — no all-atoms x all-species or
+            # zero-padded-width waste.  This is the trace-time
+            # specialization of the reference's nonzero/index_select
+            # per-species loop (nn/_containers.py:412).
+            #
+            # ONLY when every species' rows form a contiguous block (the MD
+            # driver species-sorts its internal atom order): for scattered
+            # rows (e.g. a molecule batch closed over as a constant) the
+            # static gathers + at[].set scatters and their AD transposes
+            # were profiled at ~22 ms/step on the batch-2560 training shape
+            # — far worse than the padded batched-matmul path below.
+            contiguous = all(
+                (lambda r: r.size == 0 or int(r[-1]) - int(r[0]) + 1 == r.size)(
+                    np.flatnonzero(host_elem == s)
+                )
+                for s in species_list
+            )
+            if contiguous:
+                return self._atomic_scalars_static(
+                    act, host_elem, x0, species_list
+                ).reshape(c, a, self.out_dim)
         sel = np.asarray(species_list)
         # One species-batched matmul chain per layer (batch dim = species)
         # instead of a sequential per-species loop — better MXU scheduling.
