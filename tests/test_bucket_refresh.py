@@ -1,0 +1,185 @@
+"""Bucket-dot refresh (md bucket path) parity vs the row-gather path.
+
+The bucket-dot refresh replaces the per-step ``coords[idx]`` neighbor
+gather with bucket-local one-hot MXU contractions (bucket_refresh.py);
+these tests pin its exactness against the plain gather on real cell-list
+topologies, its backward, and the end-to-end MD trajectory.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchani_tpu as tt
+from torchani_tpu.bucket_refresh import (
+    build_bucket_tables,
+    bucket_nbr_pos,
+    make_wrapshift,
+    tables_from_cell_aux,
+)
+from torchani_tpu.md import MolecularDynamics
+from torchani_tpu.neighbors import _static_grid_shape, cell_list
+from torchani_tpu.testing import make_water_box
+
+
+def _random_periodic_topology(seed, a=60, box=12.0, cutoff=5.2):
+    rng = np.random.RandomState(seed)
+    coords = jnp.asarray(rng.rand(a, 3).astype(np.float32) * box)
+    # drift some atoms outside the box (MD coordinates are unwrapped)
+    coords = coords + jnp.asarray(
+        (rng.randint(-2, 3, (a, 3)) * box).astype(np.float32)
+    )
+    cell = jnp.eye(3, dtype=jnp.float32) * box
+    elem = jnp.zeros((1, a), jnp.int32)
+    nbrs = cell_list(
+        cutoff, elem, coords[None], cell, jnp.asarray([True] * 3)
+    )
+    idx, mask = nbrs.idx[0], nbrs.mask[0]
+    nbr_pos_ref = jnp.take(coords, jnp.where(mask, idx, 0), axis=0)
+    shift = nbrs.diff[0] - (nbr_pos_ref - coords[:, None, :])
+    shift = jnp.where(mask[..., None], shift, 0.0)
+    grid = _static_grid_shape(np.asarray(cell), cutoff)
+    return coords, cell, grid, idx, mask, shift, nbrs.diff[0]
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_bucket_nbr_pos_matches_gather(seed):
+    coords, cell, grid, idx, mask, shift, diff_ref = _random_periodic_topology(
+        seed
+    )
+    a, k = idx.shape
+    c = 32
+    ws = jnp.asarray(make_wrapshift(grid, np.asarray(cell)))
+    tables, overflow = jax.jit(
+        lambda *args: build_bucket_tables(*args, grid_shape=grid, c=c, wrapshift=ws)
+    )(coords, idx, mask, shift, jnp.ones((a,), bool), cell)
+    assert not bool(overflow)
+    canon = coords - tables.wrap_offset
+    nbr = jax.jit(bucket_nbr_pos)(
+        canon, tables.keys, tables.atom_of_slot, tables.slot_of_atom,
+        tables.wrapshift,
+    )
+    diff = jnp.where(mask[..., None], nbr - canon[:, None, :], 0.0)
+    err = float(jnp.max(jnp.abs(diff - diff_ref)))
+    assert err < 2e-4, err
+
+
+def test_cell_aux_tables_match_gather():
+    """Tables assembled from cell_list's bucket_aux reproduce the cached
+    topology's diffs exactly (the fast-rebuild path used by the MD driver)."""
+    rng = np.random.RandomState(5)
+    a, box, cutoff, c = 120, 16.0, 5.2, 32
+    coords = jnp.asarray(rng.rand(a, 3).astype(np.float32) * box)
+    coords = coords + jnp.asarray(
+        (rng.randint(-2, 3, (a, 3)) * box).astype(np.float32)
+    )
+    cell = jnp.eye(3, dtype=jnp.float32) * box
+    elem = jnp.zeros((1, a), jnp.int32)
+    grid = _static_grid_shape(np.asarray(cell), cutoff)
+    nbrs, aux = cell_list(
+        cutoff, elem, coords[None], cell, jnp.asarray([True] * 3),
+        capacity=64, bucket_capacity=c, bucket_aux=True,
+    )
+    assert not bool(nbrs.overflow)
+    idx, mask = nbrs.idx[0], nbrs.mask[0]
+    ws = jnp.asarray(make_wrapshift(grid, np.asarray(cell)))
+    wrap_offset = coords - aux["central"]
+    tables = tables_from_cell_aux(
+        aux["keys"], mask, aux["atom_of_slot"], aux["slot_of_atom"],
+        wrap_offset, ws, c,
+    )
+    canon = coords - tables.wrap_offset
+    nbr = jax.jit(bucket_nbr_pos)(
+        canon, tables.keys, tables.atom_of_slot, tables.slot_of_atom,
+        tables.wrapshift,
+    )
+    diff = jnp.where(mask[..., None], nbr - canon[:, None, :], 0.0)
+    err = float(jnp.max(jnp.abs(diff - nbrs.diff[0])))
+    assert err < 2e-4, err
+
+
+def test_bucket_nbr_pos_backward_matches_gather():
+    coords, cell, grid, idx, mask, shift, _ = _random_periodic_topology(1)
+    a, k = idx.shape
+    ws = jnp.asarray(make_wrapshift(grid, np.asarray(cell)))
+    tables, overflow = build_bucket_tables(
+        coords, idx, mask, shift, jnp.ones((a,), bool), cell,
+        grid_shape=grid, c=32, wrapshift=ws,
+    )
+    assert not bool(overflow)
+    w = jnp.asarray(
+        np.random.RandomState(7).randn(a, k, 3).astype(np.float32)
+    )
+
+    def loss_bucket(crd):
+        canon = crd - tables.wrap_offset
+        nbr = bucket_nbr_pos(
+            canon, tables.keys, tables.atom_of_slot, tables.slot_of_atom,
+            tables.wrapshift,
+        )
+        d = jnp.where(mask[..., None], nbr - canon[:, None, :], 0.0)
+        return jnp.sum(w * d)
+
+    def loss_gather(crd):
+        nbr = jnp.take(crd, jnp.where(mask, idx, 0), axis=0)
+        d = nbr - crd[:, None, :] + shift
+        d = jnp.where(mask[..., None], d, 0.0)
+        return jnp.sum(w * d)
+
+    gb = jax.jit(jax.grad(loss_bucket))(coords)
+    gg = jax.jit(jax.grad(loss_gather))(coords)
+    scale = float(jnp.max(jnp.abs(gg))) + 1e-9
+    assert float(jnp.max(jnp.abs(gb - gg))) / scale < 1e-5
+
+
+def test_bucket_overflow_flags():
+    coords, cell, grid, idx, mask, shift, _ = _random_periodic_topology(2)
+    a = coords.shape[0]
+    ws = jnp.asarray(make_wrapshift(grid, np.asarray(cell)))
+    # slot capacity far below occupancy -> must flag, not crash
+    _, overflow = build_bucket_tables(
+        coords, idx, mask, shift, jnp.ones((a,), bool), cell,
+        grid_shape=grid, c=16, wrapshift=ws,
+    )
+    # 60 atoms in ~8 buckets: 16 slots may or may not overflow; force it
+    _, overflow1 = build_bucket_tables(
+        coords, idx, mask, shift, jnp.ones((a,), bool), cell,
+        grid_shape=(1, 1, 1),
+        c=16,
+        wrapshift=jnp.asarray(make_wrapshift((1, 1, 1), np.asarray(cell))),
+    )
+    assert bool(overflow1)
+
+
+def test_md_bucket_path_matches_gather_path():
+    model = tt.simple_ani(("H", "O"), ensemble_size=1)
+    # low density -> a 20 A box from 150 atoms, so the bucket grid gets the
+    # >= 3 cells per axis the bucket-dot path needs (a 30-atom liquid-density
+    # box is ~7 A -> grid (1,1,1) -> the path correctly disables itself)
+    species, coords, cell = make_water_box(150, density_molec_per_a3=0.008)
+
+    def run(bucket_refresh):
+        # the sparse lattice clusters ~24 atoms into one bucket, above the
+        # auto 2x-mean bucket capacity (16); the bucket path measures its own
+        md = MolecularDynamics(
+            model, species, cell=cell, pbc=True, timestep_fs=0.25,
+            skin=0.6, bucket_refresh=bucket_refresh, bucket_capacity=32,
+        )
+        st = md.init(coords, temperature=100.0, key=jax.random.PRNGKey(4))
+        st = md.run_nve(st, 12)
+        return md, st
+
+    md_b, st_b = run(True)
+    md_g, st_g = run(False)
+    assert md_b._bucket_c is not None and st_b.bucket is not None
+    assert st_g.bucket is None
+    assert int(st_b.rebuilds) == int(st_g.rebuilds)
+    assert not bool(st_b.overflow)
+    de = abs(float(st_b.energy) - float(st_g.energy))
+    assert de < 5e-5 * abs(float(st_g.energy)) + 5e-5, de
+    fscale = float(jnp.max(jnp.abs(st_g.forces))) + 1e-9
+    ferr = float(jnp.max(jnp.abs(st_b.forces - st_g.forces))) / fscale
+    assert ferr < 5e-3, ferr
+    cerr = float(jnp.max(jnp.abs(st_b.coords - st_g.coords)))
+    assert cerr < 1e-3, cerr

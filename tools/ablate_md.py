@@ -44,9 +44,15 @@ def main():
     species, coords, cell = make_water_box(n_atoms)
     sp = jnp.asarray(species)
     model = tt.models.ANI2x(pretrained=False)
-    md = MolecularDynamics(model, sp, cell=jnp.asarray(cell), pbc=True)
+    import os
+    bucket = os.environ.get("TT_BUCKET", "auto")
+    bucket = {"auto": "auto", "1": True, "0": False}[bucket]
+    md = MolecularDynamics(
+        model, sp, cell=jnp.asarray(cell), pbc=True, bucket_refresh=bucket
+    )
     model = md.model  # includes the sorted-lane angular preslice
     state = md.init(jnp.asarray(coords))
+    print(f"bucket_refresh c={md._bucket_c}", flush=True)
     elem = md.elem_idxs
     c0 = state.coords
     print(f"atoms={c0.shape[0]} K={state.nbr_idx.shape[1]}", flush=True)
@@ -149,8 +155,13 @@ def main():
     # 4) Verlet cache rebuild (cell list + lane sort + partner map); amortized
     # over the rebuild interval in MD (bench reports rebuilds_in_window)
     def build_fn(c):
-        idx, mask, shift, nbr_elem, rev, overflow = md._build_cache(c)
-        return shift.sum() + (idx + nbr_elem + rev).sum() + mask.sum()
+        idx, mask, shift, nbr_elem, rev, overflow, _tables = md._build_cache(c)
+        tot = shift.sum() + (idx + nbr_elem + rev).sum() + mask.sum()
+        if _tables is not None:
+            tot = tot + sum(
+                jnp.sum(x).astype(jnp.float32) for x in jax.tree.leaves(_tables)
+            )
+        return tot
 
     print(f"cache rebuild    {timeit(build_fn, c0, reps=10):8.2f} ms", flush=True)
 

@@ -1,0 +1,529 @@
+"""Scatter/gather-free Verlet refresh via bucket-local one-hot MXU dots.
+
+The per-step MD refresh must produce each atom's K neighbor positions from
+the current coordinates.  A plain ``coords[idx]`` row gather runs at the TPU
+per-row gather floor (~290M rows/s) and its backward is as expensive again
+(tools/refresh_microbench.py) — together the largest cost of the MD step.
+
+This module replaces both directions with MXU contractions over *bucket-local*
+candidate sets (reference analog: the cuAEV pairlist kernels tile over
+cell-list buckets, ``aev.cu:181-321``; here the same locality feeds a
+matmul instead of a thread-block):
+
+- Atoms are binned into the cell-list bucket grid (edge >= cutoff + skin),
+  ``C`` padded slots per bucket.  A bucket's candidates are the atoms of its
+  27 surrounding buckets — built every step by 27 *static* ``jnp.roll``s of
+  the ``(gx, gy, gz, C, 3)`` slot table (no gathers), plus a per-(bucket,
+  section) constant image shift.
+- Each neighbor lane caches (at rebuild time) the *candidate key*
+  ``(section o << 8) | rank(j)`` of its partner: which of the ``27 * C``
+  candidates it is.  The per-step "gather" is then a FACTORED two-stage
+  selection per bucket (a joint one-hot over ``27*C`` candidates is the
+  tensor product of a rank one-hot and a section one-hot):
+
+      stage 1 (MXU):  tmp (3*27, K*C) = cand (3*27, C) @ onehot(rank) (C, K*C)
+      stage 2 (VPU):  out (3, K*C)    = sum_s tmp[:, s, :] * (s == o)
+
+  The naive joint form costs ``27*C x C*K`` selector compares and MXU tiles
+  padded on a 16-row LHS; the factored form contracts over ``C`` on the MXU
+  (dense, 81-row LHS) and reduces 27 terms on the VPU — ~20x less selector
+  work at realistic ``C`` (water box C=64).  f32 exactness comes from an
+  explicit bf16 triple split of the value side (hi+mid+lo reconstructs f32
+  bit-exactly; the one-hot side is exact in bf16), so the forward is the
+  *exact* f32 selection.  The backward is the transposed contraction —
+  no scatter, no partner-lane map.
+
+Coordinate convention: MD coordinates drift unwrapped across the periodic
+box.  All positions here are *canonical*: ``canon = coords - wrap_offset``
+where ``wrap_offset = floor(frac(coords)) @ cell`` is frozen at rebuild
+time, so canonical positions move continuously, live in the box the bucket
+grid was built for, and the per-(bucket, section) shift stays constant
+between rebuilds.
+"""
+
+import typing as tp
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.experimental import pallas as pl
+
+from torchani_tpu.annotations import Array
+
+__all__ = [
+    "BucketTables",
+    "build_bucket_tables",
+    "bucket_nbr_pos",
+    "make_wrapshift",
+    "tables_from_cell_aux",
+]
+
+#: lane key encoding: (section << 8) | rank; section 27 = masked sentinel
+_SENTINEL = 27 << 8
+
+_SECTION_OFFSETS = np.mgrid[-1:2, -1:2, -1:2].reshape(3, -1).T  # (27, 3)
+
+
+class BucketTables(struct.PyTreeNode):
+    """Rebuild-time tables for the bucket-dot refresh (all static shapes).
+
+    Every static parameter is recoverable from array shapes: the grid from
+    ``wrapshift``, ``C`` from ``atom_of_slot`` vs the grid, ``K`` from
+    ``keys`` vs ``C``.
+    """
+
+    keys: Array  # (G, C*K) int32 (section << 8) | rank per (slot-row, lane); sentinel section = 27
+    atom_of_slot: Array  # (G*C,) int32 atom index per slot, sentinel = A
+    slot_of_atom: Array  # (A,) int32 slot per atom, -1 for dummy/overflowed atoms
+    wrap_offset: Array  # (A, 3) f32, frozen floor-offset: canon = coords - wrap_offset
+    wrapshift: Array  # (gx, gy, gz, 27, 3) f32 image shift per (bucket, section)
+
+
+def make_wrapshift(
+    grid_shape: tp.Tuple[int, int, int], cell: np.ndarray
+) -> np.ndarray:
+    """(gx, gy, gz, 27, 3) cartesian shift: section o of bucket b holds atoms
+    of bucket wrap(b3 + off_o); the shift is the unwrap ``floordiv`` times
+    the cell."""
+    gx, gy, gz = grid_shape
+    b3 = np.stack(
+        np.meshgrid(np.arange(gx), np.arange(gy), np.arange(gz), indexing="ij"),
+        axis=-1,
+    )  # (gx, gy, gz, 3)
+    nb3 = b3[:, :, :, None, :] + _SECTION_OFFSETS[None, None, None, :, :]
+    wrap = np.floor_divide(nb3, np.array([gx, gy, gz]))
+    return (
+        (wrap.reshape(-1, 3) @ np.asarray(cell))
+        .reshape(gx, gy, gz, 27, 3)
+        .astype(np.float32)
+    )
+
+
+def _rank_in_bucket(bucket: Array, num_atoms: int) -> Array:
+    """Stable per-bucket rank via argsort + shift-compare/cummax segment
+    starts (same trick as ``neighbors.cell_list``; no searchsorted)."""
+    order = jnp.argsort(bucket, stable=True)
+    sorted_bucket = jnp.take(bucket, order)
+    pos = jnp.arange(num_atoms, dtype=jnp.int32)
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_bucket[1:] != sorted_bucket[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(is_new, pos, 0))
+    rank_sorted = pos - seg_start.astype(jnp.int32)
+    return jnp.zeros((num_atoms,), jnp.int32).at[order].set(rank_sorted)
+
+
+def build_bucket_tables(
+    coords: Array,  # (A, 3) internal-order, unwrapped
+    idx: Array,  # (A, K) cached neighbor table
+    mask: Array,  # (A, K)
+    shift: Array,  # (A, K, 3) cached cartesian image shifts
+    valid_atom: Array,  # (A,) bool, False for dummy padding atoms
+    cell: Array,  # (3, 3)
+    grid_shape: tp.Tuple[int, int, int],
+    c: int,  # slot capacity (multiple of 16)
+    wrapshift: Array,  # (gx, gy, gz, 27, 3) from make_wrapshift
+) -> tp.Tuple[BucketTables, Array]:
+    """Derive the refresh tables from the cached topology (traced; runs at
+    each Verlet rebuild).  Returns ``(tables, overflow)``."""
+    gx, gy, gz = grid_shape
+    g = gx * gy * gz
+    a, k = idx.shape
+    if c % 16 or c > 256 or (c * k) % 128:
+        raise ValueError(
+            f"bucket slot capacity c={c} must be a multiple of 16, <= 256, "
+            f"with c*K (K={k}) a multiple of 128"
+        )
+    sentinel = _SENTINEL
+
+    cell_inv = jnp.linalg.inv(cell)
+    u = coords @ cell_inv  # (A, 3) fractional, unwrapped
+    fu = jnp.floor(u)
+    m = jnp.clip(u - fu, 0.0, 1.0 - 1e-7)
+    gdims = jnp.array([gx, gy, gz], jnp.int32)
+    idx3 = jnp.minimum((m * gdims).astype(jnp.int32), gdims - 1)  # (A, 3)
+    bucket = (idx3[:, 0] * gy + idx3[:, 1]) * gz + idx3[:, 2]
+    bucket = jnp.where(valid_atom, bucket, g)  # dummies into a trash bucket
+    rank = _rank_in_bucket(bucket, a)
+    slot_ok = valid_atom & (rank < c)
+    overflow = jnp.any(valid_atom & (rank >= c))
+
+    slot_of_atom = jnp.where(slot_ok, bucket * c + rank, -1)
+    atom_of_slot = (
+        jnp.full((g * c + 1,), a, jnp.int32)
+        .at[jnp.where(slot_ok, slot_of_atom, g * c)]
+        .set(jnp.arange(a, dtype=jnp.int32), mode="drop")[: g * c]
+    )
+
+    # ---- per-lane candidate keys ----
+    # The section offset is derived from INTEGER quantities only (bucket
+    # indices + exact lattice wraps), never from float floors of the pair
+    # position: a float re-derivation can disagree with the partner's own
+    # bucket assignment at gridline boundaries, silently selecting the
+    # wrong atom.  Identity: the lane's image sits in virtual bucket
+    # idx3_j + gdims * D with D = fu_j + w - fu_i, and only D mod 3 matters
+    # because a valid offset lands in [-1, 1].
+    fm = jnp.remainder(fu.astype(jnp.int32), 3)  # (A, 3) in [0, 3)
+    fmcode = (fm[:, 0] * 3 + fm[:, 1]) * 3 + fm[:, 2]  # < 27
+    # one packed per-atom code -> a single (A, K) gather at rebuild time
+    code_atom = rank + c * (jnp.where(valid_atom, bucket, 0) + g * fmcode)
+    jidx = jnp.where(mask, idx, 0)
+    code_j = jnp.take(code_atom, jidx, axis=0)  # (A, K)
+    rank_j = code_j % c
+    rest = code_j // c
+    bucket_j = rest % g
+    fm_j3 = rest // g
+    fm_j = jnp.stack(
+        [(fm_j3 // 9) % 3, (fm_j3 // 3) % 3, fm_j3 % 3], axis=-1
+    )  # (A, K, 3)
+    idx3_j = jnp.stack(
+        [bucket_j // (gy * gz), (bucket_j // gz) % gy, bucket_j % gz], axis=-1
+    )
+    w = jnp.round(shift @ cell_inv).astype(jnp.int32)  # (A, K, 3) lattice wrap
+    d3 = jnp.remainder(fm_j + w - fm[:, None, :] + 1, 3) - 1  # in {-1, 0, 1}
+    off3 = idx3_j + gdims * d3 - idx3[:, None, :]  # (A, K, 3)
+    off_ok = jnp.all((off3 >= -1) & (off3 <= 1), axis=-1)
+    overflow = overflow | jnp.any(mask & ~off_ok)
+    overflow = overflow | jnp.any(mask & (rank_j >= c))
+    o = ((off3[..., 0] + 1) * 3 + (off3[..., 1] + 1)) * 3 + (off3[..., 2] + 1)
+    lane_ok = mask & off_ok & (rank_j < c)
+    keys_atom = jnp.where(lane_ok, (o << 8) | rank_j, sentinel).astype(
+        jnp.int32
+    )
+
+    # reorder lane keys into slot-row order (a G*C wide-row gather, cheap)
+    keys_pad = jnp.concatenate(
+        [keys_atom, jnp.full((1, k), sentinel, jnp.int32)], axis=0
+    )
+    keys = jnp.take(keys_pad, jnp.minimum(atom_of_slot, a), axis=0).reshape(
+        g, c * k
+    )
+
+    wrap_offset = (fu @ cell).astype(coords.dtype)
+    tables = BucketTables(
+        keys=keys,
+        atom_of_slot=atom_of_slot,
+        slot_of_atom=slot_of_atom,
+        wrap_offset=wrap_offset,
+        wrapshift=wrapshift,
+    )
+    return tables, overflow
+
+
+def tables_from_cell_aux(
+    keys_atom: Array,  # (A, K) (section << 8) | rank, sentinel section 27
+    mask: Array,  # (A, K) final lane mask (post any lane permutation)
+    atom_of_slot: Array,  # (G*C,) from cell_list aux, sentinel = A
+    slot_of_atom: Array,  # (A,) from cell_list aux, -1 invalid
+    wrap_offset: Array,  # (A, 3) coords - central (frozen at rebuild)
+    wrapshift: Array,  # (gx, gy, gz, 27, 3) static, from make_wrapshift
+    c: int,
+) -> BucketTables:
+    """Assemble refresh tables from ``cell_list(..., bucket_aux=True)``.
+
+    The expensive key derivation of `build_bucket_tables` (an (A, K) scalar
+    gather + integer re-derivation of sections, ~40 ms at 10k atoms) is
+    unnecessary when the cell list itself emits its internal candidate
+    positions — this is just a sentinel re-mask and the slot-row reorder
+    (one G*C wide-row gather).
+    """
+    a, k = keys_atom.shape
+    g = atom_of_slot.shape[0] // c
+    if c % 16 or c > 256 or (c * k) % 128:
+        raise ValueError(
+            f"bucket slot capacity c={c} must be a multiple of 16, <= 256, "
+            f"with c*K (K={k}) a multiple of 128"
+        )
+    keys_atom = jnp.where(mask, keys_atom, _SENTINEL)
+    keys_pad = jnp.concatenate(
+        [keys_atom, jnp.full((1, k), _SENTINEL, jnp.int32)], axis=0
+    )
+    keys = jnp.take(keys_pad, jnp.minimum(atom_of_slot, a), axis=0).reshape(
+        g, c * k
+    )
+    return BucketTables(
+        keys=keys,
+        atom_of_slot=atom_of_slot,
+        slot_of_atom=slot_of_atom,
+        wrap_offset=wrap_offset,
+        wrapshift=wrapshift,
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact bf16 triple split
+# ---------------------------------------------------------------------------
+
+
+def _trunc16(v: Array) -> Array:
+    """Truncate f32 to its top 16 bits (an exactly-bf16 value) via integer
+    masking.  NOT convert-to-bf16-and-back: XLA's excess-precision rule
+    elides f32->bf16->f32 round-trips on TPU, which silently destroys the
+    split (measured: hi absorbed everything; tools/bucketdot_microbench.py).
+    """
+    return jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(v, jnp.uint32) & np.uint32(0xFFFF0000),
+        jnp.float32,
+    )
+
+
+def _split3(x: Array) -> tp.Tuple[Array, Array, Array]:
+    """f32 -> (hi, mid, lo) bf16 with hi + mid + lo == x bit-exactly."""
+    hi = _trunc16(x)
+    r1 = x - hi
+    mid = _trunc16(r1)
+    lo = r1 - mid
+    return (
+        hi.astype(jnp.bfloat16),
+        mid.astype(jnp.bfloat16),
+        lo.astype(jnp.bfloat16),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels: factored (rank x section) selection
+# ---------------------------------------------------------------------------
+
+
+def _pick_rc(r: int, bytes_per_lane: int, budget_bytes: int = 4 * 2**20) -> int:
+    """Largest 128-multiple chunk of R fitting the VMEM budget."""
+    for n in range(1, r // 128 + 1):
+        if r % n:
+            continue
+        rc = r // n
+        if rc % 128 == 0 and rc * bytes_per_lane <= budget_bytes:
+            return rc
+    return 128
+
+
+_DN = (((1,), (0,)), ((), ()))
+
+
+def _fwd_kernel(c, keys_ref, hi_ref, mid_ref, lo_ref, out_ref):
+    kk = keys_ref[0, 0]  # (RC,) int32
+    rc = kk.shape[0]
+    rank = kk & 255
+    sec = kk >> 8  # 27 = sentinel -> no section matches
+    ranks = jax.lax.broadcasted_iota(jnp.int32, (c, rc), 0)
+    sel_r = (ranks == rank[None, :]).astype(jnp.bfloat16)  # (C, RC)
+    # rank contraction on the MXU; each (d, s) row picks ONE candidate, so
+    # f32 accumulation of the split rows is the exact f32 value
+    tmp = jax.lax.dot_general(
+        hi_ref[0], sel_r, _DN, preferred_element_type=jnp.float32
+    )
+    tmp += jax.lax.dot_general(
+        mid_ref[0], sel_r, _DN, preferred_element_type=jnp.float32
+    )
+    tmp += jax.lax.dot_general(
+        lo_ref[0], sel_r, _DN, preferred_element_type=jnp.float32
+    )  # (81, RC)
+    secs = jax.lax.broadcasted_iota(jnp.int32, (27, rc), 0)
+    m = (secs == sec[None, :]).astype(jnp.float32)  # (27, RC)
+    res = jnp.sum(tmp.reshape(3, 27, rc) * m[None], axis=1)  # (3, RC) exact
+    out_ref[0] = jnp.pad(res, ((0, 5), (0, 0)))
+
+
+def _bwd_kernel(c, g16_ref, keys_ref, out_ref):
+    r = pl.program_id(1)
+    kk = keys_ref[0, 0]  # (RC,)
+    rc = kk.shape[0]
+    rank = kk & 255
+    sec = kk >> 8
+    ranks = jax.lax.broadcasted_iota(jnp.int32, (rc, c), 1)
+    sel_r = (ranks == rank[:, None]).astype(jnp.bfloat16)  # (RC, C)
+    secs = jax.lax.broadcasted_iota(jnp.int32, (27, rc), 0)
+    m = (secs == sec[None, :]).astype(jnp.bfloat16)  # (27, RC)
+    acc = jnp.zeros((81, c), jnp.float32)
+    for p in range(3):
+        gp = g16_ref[0][3 * p : 3 * p + 3]  # (3, RC) bf16 split plane
+        h = (gp[:, None, :] * m[None]).reshape(81, rc)  # exact (x {0,1})
+        acc += jax.lax.dot_general(
+            h, sel_r, _DN, preferred_element_type=jnp.float32
+        )
+    part = jnp.pad(acc, ((0, 15), (0, 0)))
+
+    @pl.when(r == 0)
+    def _():
+        out_ref[0] = part
+
+    @pl.when(r != 0)
+    def _():
+        out_ref[0] += part
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _bucket_select_fwd(cand16, keys: Array) -> Array:
+    """cand16: 3x (G, 81, C) bf16 split planes of cand[(d, s), c]; keys
+    (G, R) int32 -> (G, 8, R) f32 whose rows 0..2 are the exact f32
+    candidate selection per lane."""
+    hi, mid, lo = cand16
+    g, _, c = hi.shape
+    r = keys.shape[1]
+    rc = _pick_rc(r, 4 * 81 + 2 * c + 64)
+    cspec = pl.BlockSpec((1, 81, c), lambda i, j: (i, 0, 0))
+    return pl.pallas_call(
+        partial(_fwd_kernel, c),
+        grid=(g, r // rc),
+        in_specs=[
+            pl.BlockSpec((1, 1, rc), lambda i, j: (i, 0, j)),
+            cspec,
+            cspec,
+            cspec,
+        ],
+        out_specs=pl.BlockSpec((1, 8, rc), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((g, 8, r), jnp.float32),
+        interpret=_interpret(),
+    )(keys.reshape(g, 1, r), hi, mid, lo)
+
+
+def _bucket_select_bwd(g16: Array, keys: Array, c: int) -> Array:
+    """g16 (G, 16, R) bf16 split rows [hi(3); mid(3); lo(3); pad]; keys
+    (G, R) -> (G, 96, C) f32 rows 0..80 = transposed contraction
+    d_cand[(d, s), c] (lane cotangents summed onto candidates)."""
+    g, _, r = g16.shape
+    rc = _pick_rc(r, 4 * 96 + 2 * c + 64)
+    return pl.pallas_call(
+        partial(_bwd_kernel, c),
+        grid=(g, r // rc),
+        in_specs=[
+            pl.BlockSpec((1, 16, rc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, rc), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, 96, c), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, 96, c), jnp.float32),
+        interpret=_interpret(),
+    )(g16, keys.reshape(g, 1, r))
+
+
+# ---------------------------------------------------------------------------
+# full refresh forward/backward around the kernels
+# ---------------------------------------------------------------------------
+
+
+def _statics(atom_of_slot, keys, wrapshift):
+    gx, gy, gz = wrapshift.shape[:3]
+    g = gx * gy * gz
+    c = atom_of_slot.shape[0] // g
+    k = keys.shape[1] // c
+    return (gx, gy, gz), g, c, k
+
+
+def _cand_table(canon, atom_of_slot, wrapshift, grid, c):
+    """(G, 27, C, 3) per-bucket candidate positions (27 static rolls of the
+    slot table + constant section shifts; the only gather is G*C rows)."""
+    gx, gy, gz = grid
+    g = gx * gy * gz
+    a = canon.shape[0]
+    canon_pad = jnp.concatenate([canon, jnp.zeros((1, 3), canon.dtype)])
+    posb = jnp.take(canon_pad, jnp.minimum(atom_of_slot, a), axis=0)
+    posb3 = posb.reshape(gx, gy, gz, c, 3)
+    sections = [
+        jnp.roll(posb3, shift=(-ox, -oy, -oz), axis=(0, 1, 2))
+        for ox, oy, oz in _SECTION_OFFSETS
+    ]
+    cand = jnp.stack(sections, axis=3)  # (gx, gy, gz, 27, C, 3)
+    return cand.reshape(g, 27, c, 3) + wrapshift.reshape(g, 27, 1, 3)
+
+
+def _ref_select_fwd(cand_a, keys):
+    """Non-TPU reference for `_bucket_select_fwd` (padded to the same (G, 8,
+    R) layout): per-lane joint selection as a plain gather — fast on CPU,
+    where interpret-mode Pallas would loop the grid in Python."""
+    g, _, c = cand_a.shape
+    idx = (keys >> 8) * c + (keys & 255)  # (G, R) in [0, 27c) or sentinel
+    flat = jnp.pad(cand_a.reshape(g, 3, 27 * c), ((0, 0), (0, 0), (0, c)))
+    sel = jnp.take_along_axis(flat, idx[:, None, :], axis=2)  # (G, 3, R)
+    return jnp.pad(sel, ((0, 0), (0, 5), (0, 0)))
+
+
+def _ref_select_bwd(g_rows, keys, c):
+    """Non-TPU reference for `_bucket_select_bwd` ((G, 96, C) layout)."""
+    g, _, r = g_rows.shape
+    idx = (keys >> 8) * c + (keys & 255)
+    d_flat = jnp.zeros((g, 3, 27 * c + c), g_rows.dtype)
+    d_flat = d_flat.at[
+        jnp.arange(g)[:, None, None],
+        jnp.arange(3)[None, :, None],
+        idx[:, None, :],
+    ].add(g_rows[:, :3])
+    d3 = d_flat[:, :, : 27 * c].reshape(g, 3 * 27, c)
+    return jnp.pad(d3, ((0, 0), (0, 15), (0, 0)))
+
+
+def _fwd_impl(canon, keys, atom_of_slot, slot_of_atom, wrapshift):
+    grid, g, c, k = _statics(atom_of_slot, keys, wrapshift)
+    a = canon.shape[0]
+    cand = _cand_table(canon, atom_of_slot, wrapshift, grid, c)
+    cand_a = cand.transpose(0, 3, 1, 2).reshape(g, 81, c)  # [(d, s), c]
+    if _interpret():
+        out = _ref_select_fwd(cand_a, keys)
+    else:
+        out = _bucket_select_fwd(_split3(cand_a), keys)  # (G, 8, C*K)
+    sel3 = out[:, :3, :].reshape(g, 3, c, k)
+    nbr_slot = sel3.transpose(0, 2, 3, 1).reshape(g * c, k * 3)
+    safe = jnp.where(slot_of_atom >= 0, slot_of_atom, 0)
+    nbr = jnp.take(nbr_slot, safe, axis=0).reshape(a, k, 3)
+    return jnp.where((slot_of_atom >= 0)[:, None, None], nbr, 0.0)
+
+
+def _bwd_impl(g_out, keys, atom_of_slot, slot_of_atom, wrapshift):
+    grid, g, c, k = _statics(atom_of_slot, keys, wrapshift)
+    gx, gy, gz = grid
+    a = g_out.shape[0]
+
+    # atom-order cotangents -> slot-row layout (G*C wide-row gather)
+    g_pad = jnp.concatenate(
+        [g_out.reshape(a, k * 3), jnp.zeros((1, k * 3), g_out.dtype)]
+    )
+    g_slot = jnp.take(g_pad, jnp.minimum(atom_of_slot, a), axis=0)
+    g_rows = (
+        g_slot.reshape(g, c, k, 3).transpose(0, 3, 1, 2).reshape(g, 3, c * k)
+    )
+    if _interpret():
+        d_cand = _ref_select_bwd(g_rows, keys, c)
+    else:
+        hi, mid, lo = _split3(g_rows)
+        g16 = jnp.pad(
+            jnp.concatenate([hi, mid, lo], axis=1), ((0, 0), (0, 7), (0, 0))
+        )  # (G, 16, C*K) bf16
+        d_cand = _bucket_select_bwd(g16, keys, c)  # (G, 96, C)
+    d3 = d_cand[:, :81, :].reshape(g, 3, 27, c)
+    d3 = d3.transpose(0, 2, 3, 1).reshape(gx, gy, gz, 27, c, 3)
+    acc = jnp.zeros((gx, gy, gz, c, 3), g_out.dtype)
+    for oi, (ox, oy, oz) in enumerate(_SECTION_OFFSETS):
+        acc = acc + jnp.roll(
+            d3[:, :, :, oi], shift=(ox, oy, oz), axis=(0, 1, 2)
+        )
+    d_posb = acc.reshape(g * c, 3)
+    d_pad = jnp.concatenate([d_posb, jnp.zeros((1, 3), g_out.dtype)])
+    safe = jnp.where(slot_of_atom >= 0, slot_of_atom, g * c)
+    return jnp.take(d_pad, safe, axis=0)
+
+
+@jax.custom_vjp
+def bucket_nbr_pos(canon, keys, atom_of_slot, slot_of_atom, wrapshift):
+    """Per-lane neighbor positions ``canon[j] + image_shift`` (A, K, 3) as an
+    exact MXU one-hot contraction; backward is the transposed contraction
+    (no scatter, no partner map).  ``canon`` must be canonical coordinates
+    (see module docstring); masked/overflowed lanes return garbage that the
+    caller masks out."""
+    return _fwd_impl(canon, keys, atom_of_slot, slot_of_atom, wrapshift)
+
+
+def _vjp_fwd(canon, keys, atom_of_slot, slot_of_atom, wrapshift):
+    out = _fwd_impl(canon, keys, atom_of_slot, slot_of_atom, wrapshift)
+    return out, (keys, atom_of_slot, slot_of_atom, wrapshift)
+
+
+def _vjp_bwd(res, g_out):
+    keys, atom_of_slot, slot_of_atom, wrapshift = res
+    d_canon = _bwd_impl(g_out, keys, atom_of_slot, slot_of_atom, wrapshift)
+    return d_canon, None, None, None, None
+
+
+bucket_nbr_pos.defvjp(_vjp_fwd, _vjp_bwd)

@@ -21,6 +21,12 @@ import numpy as np
 from flax import struct
 
 from torchani_tpu.annotations import Array
+from torchani_tpu.bucket_refresh import (
+    BucketTables,
+    bucket_nbr_pos,
+    make_wrapshift,
+    tables_from_cell_aux,
+)
 from torchani_tpu.neighbors import Neighbors, cell_list, _static_grid_shape
 from torchani_tpu.utils import get_atomic_masses
 
@@ -48,9 +54,9 @@ class MDState(struct.PyTreeNode):
     # Verlet cache: neighbor topology built at cutoff + skin
     nbr_idx: Array  # (A, K)
     nbr_mask: Array  # (A, K)
-    nbr_shift: Array  # (A, K, 3) cartesian image shifts
+    nbr_shift: Array  # (A, K, 3) cartesian image shifts ((1,1,3) in bucket mode)
     nbr_elem: Array  # (A, K) neighbor species (cached: topology-only)
-    nbr_rev: Array  # (A, K) flat index of each lane's partner lane
+    nbr_rev: Array  # (A, K) flat index of each lane's partner lane ((1,1) in bucket mode)
     ref_coords: Array  # (A, 3) coords at last rebuild
     rebuilds: Array  # () int32
     overflow: Array  # () bool
@@ -63,6 +69,10 @@ class MDState(struct.PyTreeNode):
     # `_refresh_neighbors` applies the permutation on entry and autodiff
     # routes forces back through it.  None = user order is already sorted.
     nbr_perm: tp.Optional[Array] = None
+    # Bucket-dot refresh tables (periodic cell-list systems): when present,
+    # the per-step diff recomputation runs as bucket-local one-hot MXU
+    # contractions instead of per-row gathers (see bucket_refresh.py).
+    bucket: tp.Optional[BucketTables] = None
 
 
 def maxwell_boltzmann_velocities(
@@ -197,13 +207,26 @@ def _refresh_neighbors(state: MDState, coords: Array) -> Neighbors:
     """
     if state.nbr_perm is not None:
         coords = jnp.take(coords, state.nbr_perm, axis=0)
-    nbr_pos = _gather_nbr_pos(
-        coords,
-        jnp.where(state.nbr_mask, state.nbr_idx, 0),
-        state.nbr_rev,
-        state.nbr_mask,
-    )
-    diff = nbr_pos - coords[:, None, :] + state.nbr_shift
+    if state.bucket is not None:
+        # bucket-dot path: the MXU contraction reproduces coords[idx] + shift
+        # exactly (canonical coordinates; see bucket_refresh.py)
+        canon = coords - state.bucket.wrap_offset
+        nbr_pos = bucket_nbr_pos(
+            canon,
+            state.bucket.keys,
+            state.bucket.atom_of_slot,
+            state.bucket.slot_of_atom,
+            state.bucket.wrapshift,
+        )
+        diff = nbr_pos - canon[:, None, :]
+    else:
+        nbr_pos = _gather_nbr_pos(
+            coords,
+            jnp.where(state.nbr_mask, state.nbr_idx, 0),
+            state.nbr_rev,
+            state.nbr_mask,
+        )
+        diff = nbr_pos - coords[:, None, :] + state.nbr_shift
     diff = jnp.where(state.nbr_mask[..., None], diff, 0.0)
     d2 = jnp.sum(diff * diff, axis=-1)
     dist = jnp.sqrt(jnp.where(state.nbr_mask, d2, 1.0))
@@ -238,6 +261,7 @@ class MolecularDynamics:
         timestep_fs: float = 1.0,
         nn_precision: str = "high",
         auto_capacity: bool = True,
+        bucket_refresh: tp.Union[bool, str] = "auto",
     ) -> None:
         # MD defaults the NN matmuls to "high" (3 bf16 MXU passes): max
         # relative force error ~3e-5 vs "highest" — far below thermal noise
@@ -316,6 +340,16 @@ class MolecularDynamics:
                 self.model = _with_angular_preslice(self.model, prefix)
         except (AttributeError, KeyError):
             pass  # model without a standard nnp/aev stack
+        # bucket-dot refresh (periodic systems): replace the per-step
+        # neighbor-position row gather + its backward with bucket-local
+        # one-hot MXU contractions (bucket_refresh.py).  "auto" = on for
+        # periodic cells; slot capacity is measured at the first init.
+        self._bucket_on = (
+            bool(bucket_refresh) if bucket_refresh != "auto" else cell is not None
+        ) and cell is not None
+        self._bucket_c: tp.Optional[int] = None
+        self._wrapshift: tp.Optional[np.ndarray] = None
+        self._valid_atom = host_elem >= 0
         if self.cell is not None:
             self.grid_shape = _static_grid_shape(
                 np.asarray(jax.device_get(self.cell)), self.cutoff + skin
@@ -332,6 +366,47 @@ class MolecularDynamics:
             span = extent.max(axis=0) - extent.min(axis=0) + 2e-3
             cell = np.diag(np.maximum(span, self.cutoff + self.skin))
             self.grid_shape = _static_grid_shape(cell, self.cutoff + self.skin)
+
+    def _ensure_bucket(self, coords: Array) -> None:
+        """Fix the bucket-dot slot capacity from the initial occupancy (host).
+
+        ``c`` gets a +25% / +2 margin over the measured max atoms-per-bucket
+        (density fluctuations during MD), rounded up so ``c * K`` is a
+        128-lane multiple (the Pallas kernels chunk the lane axis in 128s).
+        Later overflow is caught by the per-rebuild ``overflow`` flag.
+        """
+        if not self._bucket_on or self._bucket_c is not None:
+            return
+        if min(self.grid_shape) < 3:
+            # cell_list falls back to all-pairs images here (no bucket aux)
+            self._bucket_on = False
+            return
+        cell = np.asarray(jax.device_get(self.cell), np.float64)
+        gx, gy, gz = self.grid_shape
+        pos = np.asarray(jax.device_get(coords), np.float64).reshape(-1, 3)
+        if self._species_perm is not None:
+            pos = pos[np.asarray(self._species_perm)]
+        pos = pos[self._valid_atom]
+        u = pos @ np.linalg.inv(cell)
+        m = np.clip(u - np.floor(u), 0.0, 1.0 - 1e-9)
+        idx3 = np.minimum(
+            (m * np.array([gx, gy, gz])).astype(np.int64),
+            np.array([gx, gy, gz]) - 1,
+        )
+        bucket = (idx3[:, 0] * gy + idx3[:, 1]) * gz + idx3[:, 2]
+        occ = int(np.bincount(bucket, minlength=gx * gy * gz).max())
+        # modest margin: the multiple-of-`step` round-up adds headroom of its
+        # own, and overflow is flagged per rebuild (kernel cost ~ c)
+        want = int(occ * 1.08 + 2)
+        step = -(-128 // math.gcd(self.capacity, 128) // 16) * 16
+        c = -(-want // step) * step
+        if c > 256:  # kernel key encoding caps rank at 8 bits
+            self._bucket_on = False
+            return
+        self._bucket_c = c
+        self._wrapshift = make_wrapshift(self.grid_shape, cell)
+        # the build program's output structure now includes the tables
+        self._build_jit = None
 
     def _to_internal(self, coords: Array) -> Array:
         if self._species_perm is None:
@@ -355,24 +430,38 @@ class MolecularDynamics:
     # ---- neighbor (re)builds ----
     def _build_cache(self, coords: Array):
         coords = self._to_internal(coords)
-        nbrs = cell_list(
+        bucket_on = self._bucket_c is not None
+        built = cell_list(
             self.cutoff + self.skin,
             self.elem_idxs,
             coords[None],
             self.cell,
             self.pbc,
             capacity=self.capacity,
-            bucket_capacity=self.bucket_capacity,
+            bucket_capacity=self._bucket_c
+            if bucket_on
+            else self.bucket_capacity,
             grid_shape=self.grid_shape,
+            bucket_aux=bucket_on,
         )
+        nbrs, aux = built if bucket_on else (built, None)
         idx = nbrs.idx[0]
         mask = nbrs.mask[0]
         dist = nbrs.dist[0]
         overflow = nbrs.overflow
-        # reconstruct cartesian shifts: diff - (x_j - x_i)
-        nbr_pos = jnp.take(coords, jnp.where(mask, idx, 0), axis=0)
-        shift = nbrs.diff[0] - (nbr_pos - coords[:, None, :])
-        shift = jnp.where(mask[..., None], shift, 0.0)
+        if bucket_on:
+            # the bucket-dot refresh never reads cached shifts (section
+            # shifts live in the static wrapshift table), so the (A, K)
+            # neighbor-position gather reconstructing them is skipped
+            keys_atom = aux["keys"]
+            # broadcastable placeholder: nothing reads shifts in bucket mode,
+            # and a full (A, K, 3) zeros would ride the MD scan carry (~14 MB)
+            shift = jnp.zeros((1, 1, 3), coords.dtype)
+        else:
+            # reconstruct cartesian shifts: diff - (x_j - x_i)
+            nbr_pos = jnp.take(coords, jnp.where(mask, idx, 0), axis=0)
+            shift = nbrs.diff[0] - (nbr_pos - coords[:, None, :])
+            shift = jnp.where(mask[..., None], shift, 0.0)
         if self._ang_prefix is not None:
             # Sort lanes by build distance (amortized over the Verlet window)
             # so the angular-range lanes occupy a static prefix; verify the
@@ -386,9 +475,14 @@ class MolecularDynamics:
             _, order = jax.lax.top_k(-keys, k)
             # finite sentinel for masked lanes: the contraction multiplies
             # masked-out lanes by 0.0, and 0 * inf would poison the sums
-            idx, mask, shift, skeys = lane_permute(
-                (idx, mask, shift, jnp.where(mask, dist, 1e30)), order
-            )
+            if bucket_on:
+                idx, mask, keys_atom, skeys = lane_permute(
+                    (idx, mask, keys_atom, jnp.where(mask, dist, 1e30)), order
+                )
+            else:
+                idx, mask, shift, skeys = lane_permute(
+                    (idx, mask, shift, jnp.where(mask, dist, 1e30)), order
+                )
             r_ang = float(self.model.aev_computer.angular.cutoff)
             in_reach = jnp.sum(
                 mask & (skeys <= r_ang + self.skin), axis=-1
@@ -409,6 +503,21 @@ class MolecularDynamics:
                 self.elem_idxs[0], jnp.where(mask, idx, 0), axis=0
             )
         nbr_elem = jnp.where(mask, nbr_elem, -1)
+        if bucket_on:
+            # bucket-dot refresh: the per-step path never touches nbr_rev
+            # (backward is the transposed contraction), so the partner-lane
+            # map — the most expensive part of the rebuild — is skipped.
+            tables = tables_from_cell_aux(
+                keys_atom,
+                mask,
+                aux["atom_of_slot"],
+                aux["slot_of_atom"],
+                coords - aux["central"],
+                jnp.asarray(self._wrapshift),
+                self._bucket_c,
+            )
+            rev = jnp.zeros((1, 1), jnp.int32)  # unused in bucket mode
+            return idx, mask, shift, nbr_elem, rev, overflow, tables
         # partner-lane map for the scatter-free force backward: hash each
         # lane's integer image shift so partners are matched exactly
         if self.cell is not None:
@@ -420,10 +529,9 @@ class MolecularDynamics:
         hneg = ((-n[..., 0] + 2) * 5 + (-n[..., 1] + 2)) * 5 + (-n[..., 2] + 2)
         rev, all_found = _partner_lanes(idx, mask, h, hneg)
         overflow = overflow | ~all_found
-        return idx, mask, shift, nbr_elem, rev, overflow
+        return idx, mask, shift, nbr_elem, rev, overflow, None
 
     def _energy_and_forces(self, state: MDState, coords: Array):
-        nbrs = _refresh_neighbors(state, coords)
         from torchani_tpu.neighbors import narrow_to_cutoff
 
         def energy(c):
@@ -458,13 +566,16 @@ class MolecularDynamics:
                 self.capacity = tight
                 self._build_jit = None  # drop programs compiled at the old K
                 self._runner_cache = {}
+        self._ensure_bucket(coords)  # after the final K is known
         key = key if key is not None else jax.random.PRNGKey(0)
         key, vkey = jax.random.split(key)
         if temperature is not None:
             velocities = maxwell_boltzmann_velocities(vkey, self.masses, temperature)
         else:
             velocities = jnp.zeros_like(coords)
-        idx, mask, shift, nbr_elem, rev, overflow = self._build_cache_jit(coords)
+        idx, mask, shift, nbr_elem, rev, overflow, tables = self._build_cache_jit(
+            coords
+        )
         state = MDState(
             coords=coords,
             velocities=velocities,
@@ -483,6 +594,7 @@ class MolecularDynamics:
             nbr_perm=None
             if self._species_perm is None
             else jnp.asarray(self._species_perm),
+            bucket=tables,
         )
         e, f = jax.jit(self._energy_and_forces)(state, coords)
         return state.replace(energy=e, forces=f)
@@ -497,7 +609,9 @@ class MolecularDynamics:
         need = jnp.sqrt(top2[0]) + jnp.sqrt(top2[1]) > self.skin
 
         def rebuild(st):
-            idx, mask, shift, nbr_elem, rev, overflow = self._build_cache(coords)
+            idx, mask, shift, nbr_elem, rev, overflow, tables = self._build_cache(
+                coords
+            )
             return st.replace(
                 nbr_idx=idx,
                 nbr_mask=mask,
@@ -507,6 +621,7 @@ class MolecularDynamics:
                 ref_coords=coords,
                 rebuilds=st.rebuilds + 1,
                 overflow=st.overflow | overflow,
+                bucket=tables,
             )
 
         return jax.lax.cond(need, rebuild, lambda st: st, state)

@@ -575,6 +575,7 @@ def cell_list(
     capacity: tp.Optional[int] = None,
     bucket_capacity: tp.Optional[int] = None,
     grid_shape: tp.Optional[tp.Tuple[int, int, int]] = None,
+    bucket_aux: bool = False,
 ) -> Neighbors:
     """O(A) neighbor table via a 3D bucket grid with static capacities.
 
@@ -584,6 +585,16 @@ def cell_list(
     buckets.  PBC is handled by wrapping bucket coordinates and accumulating
     the corresponding cartesian image shift.  No sorting networks, no
     ``argsort`` over atoms: a cumulative-count scatter builds the table.
+
+    ``bucket_aux=True`` (periodic only) returns ``(nbrs, aux)`` where ``aux``
+    is a dict of the internal bucket structure, emitted for the MD bucket-dot
+    refresh (bucket_refresh.py) at zero extra cost — each lane's packed
+    candidate position IS the (section, rank) key the refresh kernels need:
+    ``keys`` (A, K) int32 ``(section << 8) | rank`` (sentinel section 27 for
+    masked lanes), ``atom_of_slot`` (G*B,) with sentinel ``A``,
+    ``slot_of_atom`` (A,) with -1 for dummy/overflowed atoms, and
+    ``central`` (A, 3), the coordinates mapped into the cell (so the caller
+    can freeze ``wrap_offset = coords - central``).
     """
     squeeze = elem_idxs.ndim == 2
     if squeeze:
@@ -616,7 +627,13 @@ def cell_list(
             np.asarray(jax.device_get(used_cell)), cutoff
         )
     gx, gy, gz = (max(g, 1) for g in grid_shape)
+    if bucket_aux and not periodic:
+        raise ValueError("bucket_aux requires a periodic cell")
     if periodic and min(gx, gy, gz) < 3:
+        if bucket_aux:
+            raise ValueError(
+                "bucket_aux needs >= 3 buckets per axis (cell too small)"
+            )
         # Too few buckets for distinct 27-neighborhoods: fall back to images
         return all_pairs(
             cutoff, elem_idxs[None], coords[None], cell, pbc, capacity=capacity
@@ -740,6 +757,18 @@ def cell_list(
     if squeeze:
         nbrs = jax.tree.map(lambda x: x[None] if x.ndim > 0 else x, nbrs)
         nbrs = nbrs.replace(overflow=jnp.squeeze(nbrs.overflow))
+    if bucket_aux:
+        aux = {
+            "keys": jnp.where(
+                mask, ((top // b) << 8) | (top % b), 27 << 8
+            ).astype(jnp.int32),
+            "atom_of_slot": table.reshape(-1),
+            "slot_of_atom": jnp.where(
+                real & (rank < b), bucket_id * b + slot, -1
+            ),
+            "central": origin_coords,
+        }
+        return nbrs, aux
     return nbrs
 
 
