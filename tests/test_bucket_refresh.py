@@ -161,10 +161,11 @@ def test_md_bucket_path_matches_gather_path():
 
     def run(bucket_refresh):
         # the sparse lattice clusters ~24 atoms into one bucket, above the
-        # auto 2x-mean bucket capacity (16); the bucket path measures its own
+        # 2x-mean bucket heuristic (16); init must auto-measure occupancy
+        # (a NaN trajectory here means the measured capacity regressed)
         md = MolecularDynamics(
             model, species, cell=cell, pbc=True, timestep_fs=0.25,
-            skin=0.6, bucket_refresh=bucket_refresh, bucket_capacity=32,
+            skin=0.6, bucket_refresh=bucket_refresh,
         )
         st = md.init(coords, temperature=100.0, key=jax.random.PRNGKey(4))
         st = md.run_nve(st, 12)

@@ -49,8 +49,14 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "tbl"
     if mode == "build":
         def build_fn(c):
-            idx, mask, shift, nbr_elem, rev, overflow = md._build_cache(c)
-            return shift.sum() + (idx + nbr_elem + rev).sum() + mask.sum()
+            idx, mask, shift, nbr_elem, rev, overflow, tables = md._build_cache(c)
+            tot = shift.sum() + (idx + nbr_elem + rev).sum() + mask.sum()
+            if tables is not None:
+                tot = tot + sum(
+                    jnp.sum(x).astype(jnp.float32)
+                    for x in jax.tree.leaves(tables)
+                )
+            return tot
 
         reps = 10
         scanned = jax.jit(
@@ -70,6 +76,12 @@ def main():
             )
 
         fn = jax.grad(lambda c: jnp.sum(aev_full(c) ** 2))
+        x = c0
+    elif mode == "ef":
+        # match tools/profile_aev.py mode "ef" (fusion numbers line up)
+        fn = lambda c: sum(  # noqa: E731
+            jnp.sum(o) for o in md._energy_and_forces(state, c)
+        )
         x = c0
     else:
         fn = jax.grad(lambda d: jnp.sum(aev_tbl(d) ** 2))

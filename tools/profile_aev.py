@@ -67,6 +67,13 @@ def main():
     elif mode == "fwd":
         fn = lambda d: jnp.sum(aev_tbl(d))  # noqa: E731
         x = nb0.diff
+    elif mode == "ef":
+        # the MD driver's whole cached-topology force eval (refresh + AEV +
+        # NN, fwd+bwd) — what md_ms_per_step is made of between rebuilds
+        fn = lambda c: sum(  # noqa: E731
+            jnp.sum(o) for o in md._energy_and_forces(state, c)
+        )
+        x = c0
     else:
         fn = jax.grad(lambda c: jnp.sum(aev_full(c) ** 2))
         x = c0

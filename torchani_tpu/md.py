@@ -367,20 +367,14 @@ class MolecularDynamics:
             cell = np.diag(np.maximum(span, self.cutoff + self.skin))
             self.grid_shape = _static_grid_shape(cell, self.cutoff + self.skin)
 
-    def _ensure_bucket(self, coords: Array) -> None:
-        """Fix the bucket-dot slot capacity from the initial occupancy (host).
+    def _measure_occupancy(self, coords: Array) -> tp.Optional[int]:
+        """Max atoms-per-bucket of the initial configuration (host numpy).
 
-        ``c`` gets a +25% / +2 margin over the measured max atoms-per-bucket
-        (density fluctuations during MD), rounded up so ``c * K`` is a
-        128-lane multiple (the Pallas kernels chunk the lane axis in 128s).
-        Later overflow is caught by the per-rebuild ``overflow`` flag.
+        None when there is no periodic cell to bin against (the grid is then
+        span-derived and the auto bucket heuristic is the only option).
         """
-        if not self._bucket_on or self._bucket_c is not None:
-            return
-        if min(self.grid_shape) < 3:
-            # cell_list falls back to all-pairs images here (no bucket aux)
-            self._bucket_on = False
-            return
+        if self.cell is None:
+            return None
         cell = np.asarray(jax.device_get(self.cell), np.float64)
         gx, gy, gz = self.grid_shape
         pos = np.asarray(jax.device_get(coords), np.float64).reshape(-1, 3)
@@ -394,7 +388,44 @@ class MolecularDynamics:
             np.array([gx, gy, gz]) - 1,
         )
         bucket = (idx3[:, 0] * gy + idx3[:, 1]) * gz + idx3[:, 2]
-        occ = int(np.bincount(bucket, minlength=gx * gy * gz).max())
+        return int(np.bincount(bucket, minlength=gx * gy * gz).max())
+
+    def _ensure_bucket_capacity(self, coords: Array) -> None:
+        """Pin the cell list's bucket capacity to measured occupancy.
+
+        The auto heuristic (2x mean occupancy) under-allocates for clustered
+        configurations (e.g. a sparse lattice with locally-liquid pockets),
+        which would flag overflow at the very first build and NaN-guard the
+        trajectory.  Measuring is a cheap host pass; overflow during the run
+        (density drift) is still flagged per rebuild.
+        """
+        if self.bucket_capacity is not None:
+            return
+        occ = self._measure_occupancy(coords)
+        if occ is not None:
+            # same margin as the lane-capacity auto-tune; for the 10k water
+            # box this lands on the old 2x-mean heuristic's 64 exactly
+            self.bucket_capacity = int(-(-int(occ * 1.12 + 2) // 8) * 8)
+
+    def _ensure_bucket(self, coords: Array) -> None:
+        """Fix the bucket-dot slot capacity from the initial occupancy (host).
+
+        ``c`` gets a margin over the measured max atoms-per-bucket (density
+        fluctuations during MD), rounded up so ``c * K`` is a 128-lane
+        multiple (the Pallas kernels chunk the lane axis in 128s).  Later
+        overflow is caught by the per-rebuild ``overflow`` flag.
+        """
+        if not self._bucket_on or self._bucket_c is not None:
+            return
+        if min(self.grid_shape) < 3:
+            # cell_list falls back to all-pairs images here (no bucket aux)
+            self._bucket_on = False
+            return
+        occ = self._measure_occupancy(coords)
+        if occ is None:
+            self._bucket_on = False
+            return
+        cell = np.asarray(jax.device_get(self.cell), np.float64)
         # modest margin: the multiple-of-`step` round-up adds headroom of its
         # own, and overflow is flagged per rebuild (kernel cost ~ c)
         want = int(occ * 1.08 + 2)
@@ -557,6 +588,7 @@ class MolecularDynamics:
         if coords.ndim == 3:
             coords = coords[0]
         self._ensure_grid(coords)
+        self._ensure_bucket_capacity(coords)  # before any build runs
         if self._auto_capacity:
             self._auto_capacity = False  # measure once, on the first init
             _, mask0, *_ = self._build_cache_jit(coords)
