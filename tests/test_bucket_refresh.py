@@ -13,6 +13,9 @@ import pytest
 
 import torchani_tpu as tt
 from torchani_tpu.bucket_refresh import (
+    _bucket_select_bwd,
+    _bucket_select_fwd,
+    _split3,
     build_bucket_tables,
     bucket_nbr_pos,
     make_wrapshift,
@@ -131,6 +134,54 @@ def test_bucket_nbr_pos_backward_matches_gather():
     gg = jax.jit(jax.grad(loss_gather))(coords)
     scale = float(jnp.max(jnp.abs(gg))) + 1e-9
     assert float(jnp.max(jnp.abs(gb - gg))) / scale < 1e-5
+
+
+def test_select_kernels_interpret_exactness():
+    """The Pallas selection kernels themselves (forward + transposed
+    backward), run in interpret mode at small shapes, against a per-lane
+    numpy joint selection.  The CPU execution path of `bucket_nbr_pos`
+    bypasses these kernels, so this is the only coverage of the kernel
+    bodies off-hardware."""
+    g_, c, r = 3, 64, 256
+    rng = np.random.RandomState(11)
+    cand_np = (rng.randn(g_, 3, 32, c) * 20.0).astype(np.float32)
+    cand_np[:, :, 27:] = 0.0  # zero pad rows (sentinel section target)
+    cand = jnp.asarray(cand_np.reshape(g_, 96, c))  # rows d*32 + s
+    sec = np.where(
+        rng.rand(g_, r) < 0.75, rng.randint(0, 27, (g_, r)), 27
+    ).astype(np.int32)
+    rank = rng.randint(0, c, (g_, r)).astype(np.int32)
+    keys = jnp.asarray((sec << 8) | np.where(sec < 27, rank, 0))
+
+    out = jax.jit(lambda v, k: _bucket_select_fwd(_split3(v), k))(cand, keys)
+    ref = np.zeros((g_, 3, r), np.float32)
+    for gi in range(g_):
+        for ri in range(r):
+            if sec[gi, ri] < 27:
+                ref[gi, :, ri] = cand_np[gi, :, sec[gi, ri], rank[gi, ri]]
+    assert float(jnp.max(jnp.abs(out[:, :3] - ref))) == 0.0
+
+    gt = jnp.asarray(rng.randn(g_, 3, r).astype(np.float32))
+
+    def bwd(g3, k):
+        hi, mid, lo = _split3(g3)
+        g16 = jnp.pad(
+            jnp.concatenate([hi, mid, lo], axis=1), ((0, 0), (0, 7), (0, 0))
+        )
+        return _bucket_select_bwd(g16, k, c)
+
+    dout = jax.jit(bwd)(gt, keys)  # (G, 96, C) rows d*32 + s
+    dsum = np.asarray(dout).reshape(g_, 3, 32, c)[:, :, :27]
+    dref = np.zeros((g_, 3, 27, c), np.float32)
+    # backward sums bf16 split planes of the cotangent: reference must sum
+    # the same split values (products with the one-hot are exact)
+    hi, mid, lo = (np.asarray(p, np.float32) for p in _split3(gt))
+    gsplit = hi + mid + lo
+    for gi in range(g_):
+        for ri in range(r):
+            if sec[gi, ri] < 27:
+                dref[gi, :, sec[gi, ri], rank[gi, ri]] += gsplit[gi, :, ri]
+    assert float(np.max(np.abs(dsum - dref))) < 1e-6
 
 
 def test_bucket_overflow_flags():

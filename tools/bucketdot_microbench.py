@@ -49,7 +49,9 @@ def timeit(fn, *args, reps=50):
 
 def main():
     rng = np.random.RandomState(0)
-    cand = jnp.asarray(rng.randn(G, 81, C).astype(np.float32) * 20.0)
+    cand_np = rng.randn(G, 3, 32, C).astype(np.float32) * 20.0
+    cand_np[:, :, 27:] = 0.0  # pad rows (sentinel target) must be zero
+    cand = jnp.asarray(cand_np.reshape(G, 96, C))  # rows d*32 + s
     o = rng.randint(0, 27, (G, R))
     rank = rng.randint(0, C, (G, R))
     keys_np = np.where(rng.rand(G, R) < 0.75, (o << 8) | rank, 27 << 8)
@@ -59,14 +61,13 @@ def main():
         return _bucket_select_fwd(_split3(c), k)
 
     out = jax.jit(fwd)(cand, keys)
-    # reference: joint selection per lane
-    cand3 = np.asarray(cand).reshape(G, 3, 27, C)
+    # reference: joint selection per lane (cand rows are d*32 + s)
     ref = np.zeros((G, 3, R), np.float32)
     sec, rk = keys_np >> 8, keys_np & 255
     for g in range(2):
         for r in range(R):
             if sec[g, r] < 27:
-                ref[g, :, r] = cand3[g, :, sec[g, r], rk[g, r]]
+                ref[g, :, r] = cand_np[g, :, sec[g, r], rk[g, r]]
     err = float(jnp.max(jnp.abs(out[:2, :3] - ref[:2])))
     print(f"fwd exactness (2 buckets) max|err| = {err:.3g}", flush=True)
     print(f"fwd bucketdot    {timeit(fwd, cand, keys):7.2f} ms", flush=True)
@@ -80,15 +81,16 @@ def main():
         )
         return _bucket_select_bwd(g16, k, C)
 
-    dout = jax.jit(bwd)(gt, keys)
-    dref = np.zeros((2, 81, C), np.float32)
+    dout = jax.jit(bwd)(gt, keys)  # (G, 96, C) rows d*32 + s
+    dsum = np.asarray(dout[:2]).reshape(2, 3, 32, C)[:, :, :27]
+    dref = np.zeros((2, 3, 27, C), np.float32)
     gtn = np.asarray(gt)
     for g in range(2):
         for r in range(R):
             if sec[g, r] < 27:
                 for d in range(3):
-                    dref[g, d * 27 + sec[g, r], rk[g, r]] += gtn[g, d, r]
-    derr = float(jnp.max(jnp.abs(dout[:2, :81] - dref)))
+                    dref[g, d, sec[g, r], rk[g, r]] += gtn[g, d, r]
+    derr = float(jnp.max(jnp.abs(dsum - dref)))
     print(f"bwd exactness (2 buckets) max|err| = {derr:.3g}", flush=True)
     print(f"bwd bucketdot    {timeit(bwd, gt, keys):7.2f} ms", flush=True)
 

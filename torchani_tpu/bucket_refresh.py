@@ -21,8 +21,11 @@ matmul instead of a thread-block):
   selection per bucket (a joint one-hot over ``27*C`` candidates is the
   tensor product of a rank one-hot and a section one-hot):
 
-      stage 1 (MXU):  tmp (3*27, K*C) = cand (3*27, C) @ onehot(rank) (C, K*C)
-      stage 2 (VPU):  out (3, K*C)    = sum_s tmp[:, s, :] * (s == o)
+      stage 1 (MXU):  tmp (3*32, K*C) = cand (3*32, C) @ onehot(rank) (C, K*C)
+      stage 2 (VPU):  out (3, K*C)    = sum_s tmp[d*32+s, :] * (s == o)
+
+  (sections are zero-padded 27 -> 32 rows so every kernel slab is
+  sublane-tile aligned; the sentinel section 27 selects a zero pad row)
 
   The naive joint form costs ``27*C x C*K`` selector compares and MXU tiles
   padded on a 16-row LHS; the factored form contracts over ``C`` on the MXU
@@ -301,28 +304,37 @@ def _pick_rc(r: int, bytes_per_lane: int, budget_bytes: int = 4 * 2**20) -> int:
 _DN = (((1,), (0,)), ((), ()))
 
 
-def _fwd_kernel(c, keys_ref, hi_ref, mid_ref, lo_ref, out_ref):
+def _fwd_kernel(c, keys_ref, v_ref, out_ref):
     kk = keys_ref[0, 0]  # (RC,) int32
     rc = kk.shape[0]
     rank = kk & 255
-    sec = kk >> 8  # 27 = sentinel -> no section matches
+    sec = kk >> 8  # 27 = sentinel -> hits the zero-padded row 27
     ranks = jax.lax.broadcasted_iota(jnp.int32, (c, rc), 0)
     sel_r = (ranks == rank[None, :]).astype(jnp.bfloat16)  # (C, RC)
-    # rank contraction on the MXU; each (d, s) row picks ONE candidate, so
-    # f32 accumulation of the split rows is the exact f32 value
+    # rank contraction on the MXU: one tall LHS of the three bf16 split
+    # planes, each plane a (96, C) block of rows d*32 + s (sections padded
+    # 27 -> 32 so every slab below is sublane-tile aligned — unaligned
+    # 3-row or 27-row slices forced Mosaic relayouts that dominated the
+    # kernel, and a 27-term unrolled FMA body hung its compiler).  Each
+    # row picks ONE candidate, so f32 accumulation of the split rows is
+    # the exact f32 value.
     tmp = jax.lax.dot_general(
-        hi_ref[0], sel_r, _DN, preferred_element_type=jnp.float32
-    )
-    tmp += jax.lax.dot_general(
-        mid_ref[0], sel_r, _DN, preferred_element_type=jnp.float32
-    )
-    tmp += jax.lax.dot_general(
-        lo_ref[0], sel_r, _DN, preferred_element_type=jnp.float32
-    )  # (81, RC)
-    secs = jax.lax.broadcasted_iota(jnp.int32, (27, rc), 0)
-    m = (secs == sec[None, :]).astype(jnp.float32)  # (27, RC)
-    res = jnp.sum(tmp.reshape(3, 27, rc) * m[None], axis=1)  # (3, RC) exact
-    out_ref[0] = jnp.pad(res, ((0, 5), (0, 0)))
+        v_ref[0], sel_r, _DN, preferred_element_type=jnp.float32
+    )  # (288, RC); rows [hi(96); mid(96); lo(96)]
+    t = tmp[0:96] + tmp[96:192] + tmp[192:288]  # (96, RC) exact
+    # section combine: per coord d, a 32-row aligned masked sublane-sum.
+    # Sentinel lanes (sec == 27) select the zero pad rows -> exact 0.
+    secs = jax.lax.broadcasted_iota(jnp.int32, (32, rc), 0)
+    m32 = (secs == sec[None, :]).astype(jnp.float32)  # (32, RC)
+    res = jnp.concatenate(
+        [
+            jnp.sum(t[32 * d : 32 * d + 32] * m32, axis=0, keepdims=True)
+            for d in range(3)
+        ]
+        + [jnp.zeros((5, rc), jnp.float32)],
+        axis=0,
+    )  # (8, RC)
+    out_ref[0] = res
 
 
 def _bwd_kernel(c, g16_ref, keys_ref, out_ref):
@@ -333,16 +345,24 @@ def _bwd_kernel(c, g16_ref, keys_ref, out_ref):
     sec = kk >> 8
     ranks = jax.lax.broadcasted_iota(jnp.int32, (rc, c), 1)
     sel_r = (ranks == rank[:, None]).astype(jnp.bfloat16)  # (RC, C)
-    secs = jax.lax.broadcasted_iota(jnp.int32, (27, rc), 0)
-    m = (secs == sec[None, :]).astype(jnp.bfloat16)  # (27, RC)
-    acc = jnp.zeros((81, c), jnp.float32)
-    for p in range(3):
-        gp = g16_ref[0][3 * p : 3 * p + 3]  # (3, RC) bf16 split plane
-        h = (gp[:, None, :] * m[None]).reshape(81, rc)  # exact (x {0,1})
-        acc += jax.lax.dot_general(
-            h, sel_r, _DN, preferred_element_type=jnp.float32
-        )
-    part = jnp.pad(acc, ((0, 15), (0, 0)))
+    # one tall (288, RC) LHS: rows p*96 + d*32 + s — per (split, coord) a
+    # 32-row aligned slab of the section-masked cotangent row (products are
+    # exact: bf16 x {0,1}).  Same aligned-slab reasoning as _fwd_kernel.
+    # Sentinel lanes land in the discarded pad rows s in [27, 32).
+    secs = jax.lax.broadcasted_iota(jnp.int32, (32, rc), 0)
+    m32 = (secs == sec[None, :]).astype(jnp.bfloat16)  # (32, RC)
+    h = jnp.concatenate(
+        [
+            m32 * g16_ref[0][3 * p + d][None, :]
+            for p in range(3)
+            for d in range(3)
+        ],
+        axis=0,
+    )  # (288, RC)
+    tmp = jax.lax.dot_general(
+        h, sel_r, _DN, preferred_element_type=jnp.float32
+    )  # (288, C) rows (p, d, s)
+    part = tmp[0:96] + tmp[96:192] + tmp[192:288]  # (96, C) exact p-sum
 
     @pl.when(r == 0)
     def _():
@@ -358,35 +378,35 @@ def _interpret() -> bool:
 
 
 def _bucket_select_fwd(cand16, keys: Array) -> Array:
-    """cand16: 3x (G, 81, C) bf16 split planes of cand[(d, s), c]; keys
-    (G, R) int32 -> (G, 8, R) f32 whose rows 0..2 are the exact f32
-    candidate selection per lane."""
+    """cand16: 3x (G, 96, C) bf16 split planes of cand with rows d*32 + s
+    (sections zero-padded 27 -> 32); keys (G, R) int32 -> (G, 8, R) f32
+    whose rows 0..2 are the exact f32 candidate selection per lane."""
     hi, mid, lo = cand16
     g, _, c = hi.shape
     r = keys.shape[1]
-    rc = _pick_rc(r, 4 * 81 + 2 * c + 64)
-    cspec = pl.BlockSpec((1, 81, c), lambda i, j: (i, 0, 0))
+    # tmp (288, RC) f32 dominates the kernel's VMEM footprint
+    rc = _pick_rc(r, 4 * 288 + 2 * c + 96)
+    v = jnp.concatenate([hi, mid, lo], axis=1)  # (G, 288, C)
     return pl.pallas_call(
         partial(_fwd_kernel, c),
         grid=(g, r // rc),
         in_specs=[
             pl.BlockSpec((1, 1, rc), lambda i, j: (i, 0, j)),
-            cspec,
-            cspec,
-            cspec,
+            pl.BlockSpec((1, 288, c), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 8, rc), lambda i, j: (i, 0, j)),
         out_shape=jax.ShapeDtypeStruct((g, 8, r), jnp.float32),
         interpret=_interpret(),
-    )(keys.reshape(g, 1, r), hi, mid, lo)
+    )(keys.reshape(g, 1, r), v)
 
 
 def _bucket_select_bwd(g16: Array, keys: Array, c: int) -> Array:
     """g16 (G, 16, R) bf16 split rows [hi(3); mid(3); lo(3); pad]; keys
-    (G, R) -> (G, 96, C) f32 rows 0..80 = transposed contraction
-    d_cand[(d, s), c] (lane cotangents summed onto candidates)."""
+    (G, R) -> (G, 96, C) f32 rows d*32 + s = transposed contraction (lane
+    cotangents summed onto candidates; split planes summed in-kernel)."""
     g, _, r = g16.shape
-    rc = _pick_rc(r, 4 * 96 + 2 * c + 64)
+    # h (288, RC) bf16 + tmp (288, C) f32 dominate the VMEM footprint
+    rc = _pick_rc(r, 2 * 288 + 2 * c + 96)
     return pl.pallas_call(
         partial(_bwd_kernel, c),
         grid=(g, r // rc),
@@ -430,19 +450,20 @@ def _cand_table(canon, atom_of_slot, wrapshift, grid, c):
     return cand.reshape(g, 27, c, 3) + wrapshift.reshape(g, 27, 1, 3)
 
 
-def _ref_select_fwd(cand_a, keys):
+def _ref_select_fwd(cand3, keys):
     """Non-TPU reference for `_bucket_select_fwd` (padded to the same (G, 8,
-    R) layout): per-lane joint selection as a plain gather — fast on CPU,
-    where interpret-mode Pallas would loop the grid in Python."""
-    g, _, c = cand_a.shape
+    R) layout; input (G, 3, 27, C)): per-lane joint selection as a plain
+    gather — fast on CPU, where interpret-mode Pallas would loop the grid in
+    Python."""
+    g, _, _, c = cand3.shape
     idx = (keys >> 8) * c + (keys & 255)  # (G, R) in [0, 27c) or sentinel
-    flat = jnp.pad(cand_a.reshape(g, 3, 27 * c), ((0, 0), (0, 0), (0, c)))
+    flat = jnp.pad(cand3.reshape(g, 3, 27 * c), ((0, 0), (0, 0), (0, c)))
     sel = jnp.take_along_axis(flat, idx[:, None, :], axis=2)  # (G, 3, R)
     return jnp.pad(sel, ((0, 0), (0, 5), (0, 0)))
 
 
 def _ref_select_bwd(g_rows, keys, c):
-    """Non-TPU reference for `_bucket_select_bwd` ((G, 96, C) layout)."""
+    """Non-TPU reference for `_bucket_select_bwd` ((G, 3, 27, C) output)."""
     g, _, r = g_rows.shape
     idx = (keys >> 8) * c + (keys & 255)
     d_flat = jnp.zeros((g, 3, 27 * c + c), g_rows.dtype)
@@ -451,18 +472,20 @@ def _ref_select_bwd(g_rows, keys, c):
         jnp.arange(3)[None, :, None],
         idx[:, None, :],
     ].add(g_rows[:, :3])
-    d3 = d_flat[:, :, : 27 * c].reshape(g, 3 * 27, c)
-    return jnp.pad(d3, ((0, 0), (0, 15), (0, 0)))
+    return d_flat[:, :, : 27 * c].reshape(g, 3, 27, c)
 
 
 def _fwd_impl(canon, keys, atom_of_slot, slot_of_atom, wrapshift):
     grid, g, c, k = _statics(atom_of_slot, keys, wrapshift)
     a = canon.shape[0]
     cand = _cand_table(canon, atom_of_slot, wrapshift, grid, c)
-    cand_a = cand.transpose(0, 3, 1, 2).reshape(g, 81, c)  # [(d, s), c]
+    cand3 = cand.transpose(0, 3, 1, 2)  # (G, 3, 27, C)
     if _interpret():
-        out = _ref_select_fwd(cand_a, keys)
+        out = _ref_select_fwd(cand3, keys)
     else:
+        cand_a = jnp.pad(
+            cand3, ((0, 0), (0, 0), (0, 5), (0, 0))
+        ).reshape(g, 96, c)  # rows d*32 + s, zero pad rows
         out = _bucket_select_fwd(_split3(cand_a), keys)  # (G, 8, C*K)
     sel3 = out[:, :3, :].reshape(g, 3, c, k)
     nbr_slot = sel3.transpose(0, 2, 3, 1).reshape(g * c, k * 3)
@@ -485,14 +508,14 @@ def _bwd_impl(g_out, keys, atom_of_slot, slot_of_atom, wrapshift):
         g_slot.reshape(g, c, k, 3).transpose(0, 3, 1, 2).reshape(g, 3, c * k)
     )
     if _interpret():
-        d_cand = _ref_select_bwd(g_rows, keys, c)
+        d3 = _ref_select_bwd(g_rows, keys, c)  # (G, 3, 27, C)
     else:
         hi, mid, lo = _split3(g_rows)
         g16 = jnp.pad(
             jnp.concatenate([hi, mid, lo], axis=1), ((0, 0), (0, 7), (0, 0))
         )  # (G, 16, C*K) bf16
-        d_cand = _bucket_select_bwd(g16, keys, c)  # (G, 96, C)
-    d3 = d_cand[:, :81, :].reshape(g, 3, 27, c)
+        d_cand = _bucket_select_bwd(g16, keys, c)  # (G, 96, C) rows d*32+s
+        d3 = d_cand.reshape(g, 3, 32, c)[:, :, :27]  # (G, 3, 27, C)
     d3 = d3.transpose(0, 2, 3, 1).reshape(gx, gy, gz, 27, c, 3)
     acc = jnp.zeros((gx, gy, gz, c, 3), g_out.dtype)
     for oi, (ox, oy, oz) in enumerate(_SECTION_OFFSETS):
