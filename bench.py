@@ -22,7 +22,29 @@ import numpy as np
 BASELINE_US_PER_ATOM = 1.157  # cuAEV-on-A100 estimate, see module docstring
 
 
+def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+    """Retry TPU backend init through transient tunnel outages.
+
+    The tunneled chip occasionally reports UNAVAILABLE for a few minutes;
+    a bench run that lands in that window should wait, not fail.
+    """
+    import jax
+
+    t0 = time.perf_counter()
+    while True:
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if time.perf_counter() - t0 > max_wait_s:
+                raise
+            print(f"# backend unavailable, retrying: {e}", flush=True)
+            time.sleep(30.0)
+
+
 def main() -> None:
+    _wait_for_backend()
+
     import jax
     import jax.numpy as jnp
 

@@ -94,3 +94,109 @@ def test_nonperiodic_md(model):
     state = md.run_nve(state, 10)
     assert np.isfinite(float(state.energy))
     assert np.isfinite(np.asarray(state.coords)).all()
+
+
+def test_nose_hoover_thermalizes(model):
+    """NHC NVT holds the kinetic temperature near the target (deterministic
+    thermostat; loose band — short trajectory, tiny system)."""
+    species, coords, cell = make_water_box(30)
+    md = MolecularDynamics(
+        model, species, cell=cell, pbc=True, timestep_fs=0.5, skin=0.6
+    )
+    st = md.init(coords, temperature=300.0, key=jax.random.PRNGKey(1))
+    temps = []
+    for _ in range(6):
+        st = md.run_nvt_nose_hoover(st, 40, temperature=300.0, tau_fs=20.0)
+        temps.append(float(kinetic_temperature(st.velocities, md.masses)))
+    assert np.isfinite(float(st.energy))
+    assert not bool(st.overflow)
+    # last few windows should hover around the target
+    mean_t = np.mean(temps[2:])
+    assert 120.0 < mean_t < 520.0, temps
+    # chain state actually participates
+    assert float(jnp.max(jnp.abs(st.nhc))) > 0.0
+
+
+def test_npt_virial_matches_finite_difference(model):
+    """dU/dscale from the fused force backward == finite-difference energy
+    under joint coordinate+cell scaling through the public API."""
+    species, coords, cell = make_water_box(30)
+    md = MolecularDynamics(
+        model, species, cell=cell, pbc=True, skin=0.6, npt_compression=0.1
+    )
+    st = md.init(coords, temperature=50.0, key=jax.random.PRNGKey(2))
+    st = st.replace(scale=jnp.ones(()))
+    e0, _, du_ds = jax.jit(md._energy_forces_virial)(
+        st, st.coords, jnp.ones(())
+    )
+
+    def e_at(s):
+        out = tt.single_point(
+            model,
+            jnp.asarray(species),
+            jnp.asarray(st.coords)[None] * s,
+            cell=jnp.asarray(cell) * s,
+            pbc=jnp.asarray([True] * 3),
+        )
+        return float(out["energies"][0])
+
+    assert abs(float(e0) - e_at(1.0)) < 5e-5 * abs(e_at(1.0)) + 5e-5
+    # h trades f32 cancellation noise (|E| ~ 760 Ha, eps_rel ~ 6e-8 ->
+    # +-0.05/h absolute fd noise) against curvature error; 1e-3 puts the
+    # noise floor ~1.5% of the ~-3.4 Ha/scale virial
+    h = 1e-3
+    fd = (e_at(1.0 + h) - e_at(1.0 - h)) / (2 * h)
+    assert abs(float(du_ds) - fd) < 3e-2 * abs(fd) + 2e-2, (du_ds, fd)
+
+
+def test_npt_berendsen_responds_to_pressure(model):
+    """The barostat compresses under a huge external pressure and expands
+    under tension; trajectories stay finite with rebuilds working."""
+    species, coords, cell = make_water_box(30)
+
+    def run(p_bar):
+        md = MolecularDynamics(
+            model, species, cell=cell, pbc=True, timestep_fs=0.5,
+            skin=0.6, npt_compression=0.15,
+        )
+        st = md.init(coords, temperature=100.0, key=jax.random.PRNGKey(3))
+        st = md.run_npt_berendsen(
+            st, 60, temperature=100.0, pressure_bar=p_bar,
+            tau_p_fs=200.0,
+        )
+        assert np.isfinite(float(st.energy))
+        return float(st.scale), bool(st.overflow), int(st.rebuilds)
+
+    s_hi, of_hi, _ = run(5.0e4)  # strong compression
+    s_lo, of_lo, _ = run(-5.0e4)  # strong tension
+    assert s_hi < 0.999, s_hi
+    assert s_lo > 1.001, s_lo
+    assert not of_hi and not of_lo
+
+
+def test_npt_virial_bucket_matches_gather(model):
+    """dU/dscale agrees between the bucket-dot and gather refresh paths
+    (the scale factor must flow through the MXU contraction identically)."""
+    from torchani_tpu.testing import make_water_box as _mwb
+
+    species, coords, cell = _mwb(150, density_molec_per_a3=0.008)
+
+    def virial(bucket_refresh):
+        md = MolecularDynamics(
+            model, species, cell=cell, pbc=True, skin=0.6,
+            npt_compression=0.1, bucket_refresh=bucket_refresh,
+        )
+        st = md.init(coords, temperature=50.0, key=jax.random.PRNGKey(5))
+        st = st.replace(scale=jnp.ones(()))
+        e, f, du_ds = jax.jit(md._energy_forces_virial)(
+            st, st.coords, jnp.ones(())
+        )
+        return float(e), np.asarray(f), float(du_ds), st.bucket is not None
+
+    e_b, f_b, v_b, has_b = virial(True)
+    e_g, f_g, v_g, has_g = virial(False)
+    assert has_b and not has_g
+    assert abs(e_b - e_g) < 5e-5 * abs(e_g) + 5e-5
+    fscale = np.abs(f_g).max() + 1e-9
+    assert np.abs(f_b - f_g).max() / fscale < 5e-3
+    assert abs(v_b - v_g) < 5e-3 * abs(v_g) + 5e-3, (v_b, v_g)

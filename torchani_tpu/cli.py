@@ -75,27 +75,43 @@ def cmd_md(args) -> None:
     model = _build_model(args.model, args.ensemble_member)
     species, coords, cell, pbc = read_xyz(args.xyz)
     periodic = cell is not None and pbc is not None and bool(np.asarray(pbc).any())
+    ensemble = args.md_ensemble
+    if ensemble in ("npt",) and not periodic:
+        raise SystemExit("NPT requires a periodic cell in the xyz Lattice")
     md = MolecularDynamics(
         model,
         species[:1],
         cell=cell if periodic else None,
         pbc=periodic,
         timestep_fs=args.timestep,
+        npt_compression=0.1 if ensemble == "npt" else 0.0,
     )
     state = md.init(coords[0], temperature=args.temperature, key=jax.random.PRNGKey(args.seed))
     chunk = max(1, min(args.steps, 50))
     done = 0
     while done < args.steps:
         n = min(chunk, args.steps - done)
-        if args.nvt:
+        if ensemble == "nvt":
             state = md.run_langevin(state, n, temperature=args.temperature)
+        elif ensemble == "nvt-nhc":
+            state = md.run_nvt_nose_hoover(state, n, temperature=args.temperature)
+        elif ensemble == "npt":
+            state = md.run_npt_berendsen(
+                state, n, temperature=args.temperature,
+                pressure_bar=args.pressure,
+            )
         else:
             state = md.run_nve(state, n)
         done += n
         temp = float(kinetic_temperature(state.velocities, md.masses))
+        extra = (
+            f"  V/V0 = {float(state.scale) ** 3:.4f}"
+            if state.scale is not None
+            else ""
+        )
         print(
             f"step {done:8d}  E = {float(state.energy):14.6f} Ha  "
-            f"T = {temp:8.1f} K  rebuilds = {int(state.rebuilds)}"
+            f"T = {temp:8.1f} K  rebuilds = {int(state.rebuilds)}" + extra
         )
     if args.output:
         write_xyz(
@@ -324,7 +340,29 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p.add_argument("-n", "--steps", type=int, default=100)
     p.add_argument("--timestep", type=float, default=1.0)
     p.add_argument("--temperature", type=float, default=300.0)
-    p.add_argument("--nvt", action="store_true")
+    p.add_argument(
+        "--nvt",
+        dest="md_ensemble",
+        action="store_const",
+        const="nvt",
+        default="nve",
+        help="Langevin NVT (default: NVE)",
+    )
+    p.add_argument(
+        "--nvt-nhc",
+        dest="md_ensemble",
+        action="store_const",
+        const="nvt-nhc",
+        help="Nose-Hoover chain NVT",
+    )
+    p.add_argument(
+        "--npt",
+        dest="md_ensemble",
+        action="store_const",
+        const="npt",
+        help="Berendsen NPT (isotropic; periodic systems)",
+    )
+    p.add_argument("--pressure", type=float, default=1.0, help="bar (NPT)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-o", "--output", default=None)
     p.set_defaults(fn=cmd_md)

@@ -33,15 +33,16 @@ from torchani_tpu.utils import get_atomic_masses
 __all__ = [
     "MDState",
     "MolecularDynamics",
-    "velocity_verlet_step",
-    "langevin_step",
     "maxwell_boltzmann_velocities",
+    "kinetic_temperature",
 ]
 
 #: Hartree/(Angstrom * AMU) -> Angstrom/fs^2
 ACCEL_UNIT = 0.2625499785
 #: Boltzmann constant in Hartree/K
 KB_HARTREE = 3.166811563e-06
+#: Hartree/Angstrom^3 -> bar
+PRESSURE_UNIT_BAR = 4.35974465e7
 
 
 class MDState(struct.PyTreeNode):
@@ -73,6 +74,16 @@ class MDState(struct.PyTreeNode):
     # the per-step diff recomputation runs as bucket-local one-hot MXU
     # contractions instead of per-row gathers (see bucket_refresh.py).
     bucket: tp.Optional[BucketTables] = None
+    # NPT: isotropic cell scale factor s (physical cell = s * init cell).
+    # Neighbor topology is built from REDUCED coordinates (coords / s)
+    # against the static init cell, so the compiled programs never see a
+    # dynamic cell; physical pair vectors are s * reduced vectors.  None
+    # (NVE/NVT) means s == 1 with no extra carry.
+    scale: tp.Optional[Array] = None
+    # Nose-Hoover chain state (2, M): row 0 = chain velocities (1/fs),
+    # row 1 = chain positions (diagnostics only).  None until an NHC
+    # runner installs it.
+    nhc: tp.Optional[Array] = None
 
 
 def maxwell_boltzmann_velocities(
@@ -94,6 +105,45 @@ def kinetic_temperature(velocities: Array, masses: Array) -> Array:
     ke = 0.5 * jnp.sum(masses[:, None] * velocities**2) / ACCEL_UNIT  # Hartree
     dof = 3 * velocities.shape[0]
     return 2 * ke / (dof * KB_HARTREE)
+
+
+def _nhc_update(v, nhc, masses, dof, kt, q, dt2):
+    """Half-step Nose-Hoover chain update (Martyna-Tuckerman-Klein).
+
+    ``nhc`` (2, M): chain velocities / positions; ``q`` (M,) chain masses
+    (Hartree * fs^2); ``kt`` Hartree; ``dt2`` fs (half the MD step).
+    Unrolled over the (small, static) chain length; returns the scaled
+    particle velocities and new chain state.  Reference: ASE exposes no
+    NHC for the torchani Calculator — this is a capability extension.
+    """
+    m = q.shape[0]
+    vx = [nhc[0, j] for j in range(m)]
+    xx = [nhc[1, j] for j in range(m)]
+    dt4, dt8 = dt2 / 2.0, dt2 / 4.0
+    ke2 = jnp.sum(masses[:, None] * v**2) / ACCEL_UNIT  # 2 * KE, Hartree
+
+    def g(j, ke2):
+        if j == 0:
+            return (ke2 - dof * kt) / q[0]
+        return (q[j - 1] * vx[j - 1] ** 2 - kt) / q[j]
+
+    # reverse sweep: update chain velocities tail -> head
+    vx[m - 1] = vx[m - 1] + g(m - 1, ke2) * dt4
+    for j in range(m - 2, -1, -1):
+        e = jnp.exp(-dt8 * vx[j + 1])
+        vx[j] = (vx[j] * e + g(j, ke2) * dt4) * e
+    # scale particle velocities; chain positions advance (diagnostics)
+    s = jnp.exp(-dt2 * vx[0])
+    v = v * s
+    ke2 = ke2 * s**2
+    for j in range(m):
+        xx[j] = xx[j] + dt2 * vx[j]
+    # forward sweep head -> tail with the updated kinetic energy
+    for j in range(m - 1):
+        e = jnp.exp(-dt8 * vx[j + 1])
+        vx[j] = (vx[j] * e + g(j, ke2) * dt4) * e
+    vx[m - 1] = vx[m - 1] + g(m - 1, ke2) * dt4
+    return v, jnp.stack([jnp.stack(vx), jnp.stack(xx)])
 
 
 @jax.custom_vjp
@@ -198,12 +248,20 @@ def _with_nn_precision(model, precision: str):
     return model.replace(potentials=pots)
 
 
-def _refresh_neighbors(state: MDState, coords: Array) -> Neighbors:
+def _refresh_neighbors(
+    state: MDState, coords: Array, scale: tp.Optional[Array] = None
+) -> Neighbors:
     """Recompute differentiable diff/dist from cached topology.
 
     ``coords`` is in user order; the cached topology is in species-sorted
     internal order (see ``MDState.nbr_perm``), so the produced tables are
     internal-order rows matching the driver's (sorted) ``elem_idxs``.
+
+    ``scale`` (NPT): ``coords`` are then REDUCED (physical / scale), the
+    frame the cached topology lives in; physical diff vectors are exactly
+    scale * reduced (isotropic cell scaling commutes with minimum-image
+    shifts).  Differentiating the result wrt `scale` at fixed reduced
+    coords is the scaling-trick virial.
     """
     if state.nbr_perm is not None:
         coords = jnp.take(coords, state.nbr_perm, axis=0)
@@ -227,6 +285,8 @@ def _refresh_neighbors(state: MDState, coords: Array) -> Neighbors:
             state.nbr_mask,
         )
         diff = nbr_pos - coords[:, None, :] + state.nbr_shift
+    if scale is not None:
+        diff = diff * scale
     diff = jnp.where(state.nbr_mask[..., None], diff, 0.0)
     d2 = jnp.sum(diff * diff, axis=-1)
     dist = jnp.sqrt(jnp.where(state.nbr_mask, d2, 1.0))
@@ -262,6 +322,7 @@ class MolecularDynamics:
         nn_precision: str = "high",
         auto_capacity: bool = True,
         bucket_refresh: tp.Union[bool, str] = "auto",
+        npt_compression: float = 0.0,
     ) -> None:
         # MD defaults the NN matmuls to "high" (3 bf16 MXU passes): max
         # relative force error ~3e-5 vs "highest" — far below thermal noise
@@ -307,6 +368,23 @@ class MolecularDynamics:
         self.skin = skin
         self.cutoff = model.cutoff
         self.dt = timestep_fs
+        # NPT (run_npt_berendsen): neighbor topology is built from reduced
+        # coordinates against the STATIC init cell, screened at a radius
+        # inflated by the allowed linear compression, so the table still
+        # covers the physical cutoff after the box shrinks by up to
+        # `npt_compression` (1 - s_min).  0 (default) = NVE/NVT builds.
+        if npt_compression and cell is None:
+            raise ValueError("npt_compression requires a periodic cell")
+        if not 0.0 <= npt_compression < 0.5:
+            raise ValueError("npt_compression must be in [0, 0.5)")
+        self._s_min = 1.0 - npt_compression
+        self.build_radius = (self.cutoff + skin) / self._s_min
+        if self.cell is not None:
+            self._volume0 = float(
+                abs(np.linalg.det(np.asarray(jax.device_get(self.cell))))
+            )
+        else:
+            self._volume0 = 0.0
         znums = jnp.where(self.species[0] < 0, 0, self.species[0])
         masses = get_atomic_masses(znums)
         # dummy (-1) padding atoms feel zero force; unit mass keeps the
@@ -316,7 +394,7 @@ class MolecularDynamics:
         from torchani_tpu.neighbors import estimate_capacity
 
         self.capacity = capacity or estimate_capacity(
-            self.cutoff + skin, a, periodic=pbc
+            self.build_radius, a, periodic=pbc
         )
         # auto_capacity: after the first build, shrink the static neighbor
         # capacity to the measured max occupancy (+12% and 4 lanes margin) —
@@ -331,15 +409,20 @@ class MolecularDynamics:
         # repack then scans ~56 lanes instead of the full radial capacity.
         # The bound is verified per build (overflow flag) in _build_cache.
         self._ang_prefix: tp.Optional[int] = None
-        try:
-            aevc = self.model.aev_computer
-            r_ang = float(aevc.angular.cutoff)
-            prefix = estimate_capacity(r_ang + skin, a, periodic=pbc)
-            if prefix < self.capacity:
-                self._ang_prefix = prefix
-                self.model = _with_angular_preslice(self.model, prefix)
-        except (AttributeError, KeyError):
-            pass  # model without a standard nnp/aev stack
+        # NPT: the preslice bound check compares REDUCED build distances
+        # against a physical angular reach; under a shrinking box the static
+        # prefix is no longer provably sufficient — skip it (perf-only
+        # feature) rather than carry a scale-dependent bound.
+        if not npt_compression:
+            try:
+                aevc = self.model.aev_computer
+                r_ang = float(aevc.angular.cutoff)
+                prefix = estimate_capacity(r_ang + skin, a, periodic=pbc)
+                if prefix < self.capacity:
+                    self._ang_prefix = prefix
+                    self.model = _with_angular_preslice(self.model, prefix)
+            except (AttributeError, KeyError):
+                pass  # model without a standard nnp/aev stack
         # bucket-dot refresh (periodic systems): replace the per-step
         # neighbor-position row gather + its backward with bucket-local
         # one-hot MXU contractions (bucket_refresh.py).  "auto" = on for
@@ -350,9 +433,12 @@ class MolecularDynamics:
         self._bucket_c: tp.Optional[int] = None
         self._wrapshift: tp.Optional[np.ndarray] = None
         self._valid_atom = host_elem >= 0
+        # thermostat/barostat degrees of freedom: real atoms only (dummies
+        # carry zero velocity and zero force throughout)
+        self._n_real = int(self._valid_atom.sum())
         if self.cell is not None:
             self.grid_shape = _static_grid_shape(
-                np.asarray(jax.device_get(self.cell)), self.cutoff + skin
+                np.asarray(jax.device_get(self.cell)), self.build_radius
             )
         else:
             # Non-periodic: fix the bucket-grid shape from the initial extent
@@ -364,8 +450,8 @@ class MolecularDynamics:
         if self.grid_shape is None and self.cell is None:
             extent = np.asarray(jax.device_get(coords)).reshape(-1, 3)
             span = extent.max(axis=0) - extent.min(axis=0) + 2e-3
-            cell = np.diag(np.maximum(span, self.cutoff + self.skin))
-            self.grid_shape = _static_grid_shape(cell, self.cutoff + self.skin)
+            cell = np.diag(np.maximum(span, self.build_radius))
+            self.grid_shape = _static_grid_shape(cell, self.build_radius)
 
     def _measure_occupancy(self, coords: Array) -> tp.Optional[int]:
         """Max atoms-per-bucket of the initial configuration (host numpy).
@@ -463,7 +549,7 @@ class MolecularDynamics:
         coords = self._to_internal(coords)
         bucket_on = self._bucket_c is not None
         built = cell_list(
-            self.cutoff + self.skin,
+            self.build_radius,
             self.elem_idxs,
             coords[None],
             self.cell,
@@ -578,6 +664,36 @@ class MolecularDynamics:
         e, g = jax.value_and_grad(energy)(coords)
         return e, -g
 
+    def _energy_forces_virial(self, state: MDState, coords: Array, scale):
+        """Energy, forces and dU/dscale in ONE backward pass (NPT).
+
+        Evaluated in the REDUCED frame: pair vectors are scale * reduced,
+        so differentiating the scalar energy wrt the scale argument at
+        fixed reduced coordinates yields the pair virial
+        G = sum_pairs r_ij . dU/dr_ij = scale * dU/dscale with no extra
+        evaluation — the stress "scaling trick" (reference ase.py:50-53)
+        fused into the force backward.  Physical forces are the reduced
+        gradient divided by scale.
+        """
+        from torchani_tpu.neighbors import narrow_to_cutoff
+
+        def energy(c_red, s):
+            nb = _refresh_neighbors(state, c_red, s)
+            nb = narrow_to_cutoff(nb, self.cutoff)
+            out = self.model.compute_from_neighbors(
+                self.elem_idxs,
+                self._to_internal(c_red * s)[None],
+                jax.tree.map(
+                    lambda x: x[None] if getattr(x, "ndim", 0) > 0 else x, nb
+                ),
+            )
+            return jnp.sum(out.energies)
+
+        e, (gr, gs) = jax.value_and_grad(energy, argnums=(0, 1))(
+            coords / scale, scale
+        )
+        return e, -gr / scale, gs
+
     def init(
         self,
         coords: Array,  # (A, 3) or (1, A, 3)
@@ -636,14 +752,34 @@ class MolecularDynamics:
         # when the SUM of the two largest per-atom displacements exceeds the
         # skin — strictly less conservative than 2*max > skin, so rebuilds
         # are ~30% rarer at the same correctness guarantee.
+        #
+        # NPT (scale s tracked in state): the table was built in reduced
+        # coordinates at screen radius `build_radius`, so it covers physical
+        # pair distances up to s * build_radius; the available gap to the
+        # physical cutoff is s * build_radius - cutoff (reduces to `skin`
+        # at s == 1 and build_radius == cutoff + skin).  Displacements are
+        # measured on physical coords — the barostat's affine motion is
+        # already charged to the s term, so this double-counts it, which is
+        # strictly conservative.
         moved2 = jnp.sum((coords - state.ref_coords) ** 2, axis=-1)
         top2, _ = jax.lax.top_k(moved2, 2)
-        need = jnp.sqrt(top2[0]) + jnp.sqrt(top2[1]) > self.skin
+        if state.scale is None:
+            gap = self.build_radius - self.cutoff
+        else:
+            gap = state.scale * self.build_radius - self.cutoff
+        need = jnp.sqrt(top2[0]) + jnp.sqrt(top2[1]) > gap
 
         def rebuild(st):
+            red = coords if st.scale is None else coords / st.scale
             idx, mask, shift, nbr_elem, rev, overflow, tables = self._build_cache(
-                coords
+                red
             )
+            if st.scale is not None:
+                # a fresh build can no longer cover the physical cutoff once
+                # the box has compressed past the npt_compression margin
+                overflow = overflow | (
+                    st.scale * self.build_radius < self.cutoff
+                )
             return st.replace(
                 nbr_idx=idx,
                 nbr_mask=mask,
@@ -695,6 +831,85 @@ class MolecularDynamics:
             coords=coords, velocities=v, forces=f, energy=e, step=state.step + 1
         )
 
+    def step_nvt_nose_hoover(
+        self, state: MDState, temperature: float, tau_fs: float = 25.0
+    ) -> MDState:
+        """One deterministic NVT step: Nose-Hoover chain around Velocity-
+        Verlet (use `run_nvt_nose_hoover`, which installs the chain state).
+        """
+        dt = self.dt
+        kt = KB_HARTREE * temperature
+        dof = 3 * self._n_real
+        m = state.nhc.shape[1]
+        q = jnp.asarray(
+            [dof * kt * tau_fs**2] + [kt * tau_fs**2] * (m - 1)
+        )
+        v, nhc = _nhc_update(
+            state.velocities, state.nhc, self.masses, dof, kt, q, 0.5 * dt
+        )
+        inv_m = (ACCEL_UNIT / self.masses)[:, None]
+        v_half = v + 0.5 * dt * state.forces * inv_m
+        coords = state.coords + dt * v_half
+        state = self._maybe_rebuild(state, coords)
+        e, f = self._energy_and_forces(state, coords)
+        v = v_half + 0.5 * dt * f * inv_m
+        v, nhc = _nhc_update(v, nhc, self.masses, dof, kt, q, 0.5 * dt)
+        return state.replace(
+            coords=coords, velocities=v, forces=f, energy=e, nhc=nhc,
+            step=state.step + 1,
+        )
+
+    def step_npt_berendsen(
+        self,
+        state: MDState,
+        temperature: float,
+        pressure_bar: float = 1.0,
+        tau_t_fs: float = 100.0,
+        tau_p_fs: float = 1000.0,
+        kappa_per_bar: float = 4.6e-5,
+    ) -> MDState:
+        """One isothermal-isobaric (NPT) step: Berendsen weak coupling for
+        both temperature and (isotropic) pressure around Velocity-Verlet.
+
+        Use `run_npt_berendsen` (installs `state.scale`); construct the
+        driver with `npt_compression` > 0 to give the neighbor table linear
+        compression headroom.  `kappa_per_bar` is the isothermal
+        compressibility (default: liquid water).  The instantaneous
+        pressure comes from the pair virial, which shares the force
+        backward pass (`_energy_forces_virial`).
+        """
+        dt = self.dt
+        inv_m = (ACCEL_UNIT / self.masses)[:, None]
+        v_half = state.velocities + 0.5 * dt * state.forces * inv_m
+        coords = state.coords + dt * v_half
+        state = self._maybe_rebuild(state, coords)
+        e, f, du_ds = self._energy_forces_virial(state, coords, state.scale)
+        v = v_half + 0.5 * dt * f * inv_m
+        # Berendsen thermostat: weak-coupling velocity rescale
+        ke = 0.5 * jnp.sum(self.masses[:, None] * v**2) / ACCEL_UNIT  # Ha
+        t_inst = 2.0 * ke / (3 * self._n_real * KB_HARTREE)
+        lam2 = 1.0 + (dt / tau_t_fs) * (
+            temperature / jnp.maximum(t_inst, 1.0) - 1.0
+        )
+        v = v * jnp.sqrt(jnp.clip(lam2, 0.81, 1.21))
+        # Berendsen barostat: isotropic cell/coordinate rescale toward the
+        # target pressure.  P = (2K - G) / (3V) with the pair virial
+        # G = sum_pairs r_ij . dU/dr_ij = scale * dU/dscale.
+        volume = self._volume0 * state.scale**3
+        p_bar = (
+            (2.0 * ke - state.scale * du_ds) / (3.0 * volume)
+        ) * PRESSURE_UNIT_BAR
+        mu3 = 1.0 - (dt / tau_p_fs) * kappa_per_bar * (pressure_bar - p_bar)
+        mu = jnp.clip(mu3, 0.97, 1.03) ** (1.0 / 3.0)
+        return state.replace(
+            coords=coords * mu,
+            velocities=v,
+            forces=f,
+            energy=e,
+            scale=state.scale * mu,
+            step=state.step + 1,
+        )
+
     # ---- drivers ----
     # Compiled scan programs are cached per (kind, length, params): a fresh
     # jax.jit wrapper per call would recompile the whole chunk every time.
@@ -732,5 +947,61 @@ class MolecularDynamics:
         runner = self._compiled_runner(
             ("langevin", num_steps, float(temperature), float(friction_per_fs)),
             lambda st: self.step_langevin(st, temperature, friction_per_fs),
+        )
+        return runner(state)
+
+    def run_nvt_nose_hoover(
+        self,
+        state: MDState,
+        num_steps: int,
+        temperature: float,
+        tau_fs: float = 25.0,
+        chain: int = 3,
+    ) -> MDState:
+        """Deterministic NVT via a Nose-Hoover chain thermostat."""
+        if state.nhc is None:
+            state = state.replace(nhc=jnp.zeros((2, chain)))
+        runner = self._compiled_runner(
+            ("nhc", num_steps, float(temperature), float(tau_fs), chain),
+            lambda st: self.step_nvt_nose_hoover(st, temperature, tau_fs),
+        )
+        return runner(state)
+
+    def run_npt_berendsen(
+        self,
+        state: MDState,
+        num_steps: int,
+        temperature: float,
+        pressure_bar: float = 1.0,
+        tau_t_fs: float = 100.0,
+        tau_p_fs: float = 1000.0,
+        kappa_per_bar: float = 4.6e-5,
+    ) -> MDState:
+        """Isotropic Berendsen NPT (periodic systems only).
+
+        Construct the driver with ``npt_compression`` (e.g. 0.1) to give the
+        neighbor table headroom for box shrinkage; once the box compresses
+        past that margin the ``overflow`` flag trips (re-init the driver at
+        the new density to continue).  The physical cell is
+        ``state.scale * cell``.
+        """
+        if self.cell is None:
+            raise ValueError("NPT requires a periodic cell")
+        if state.scale is None:
+            state = state.replace(scale=jnp.ones(()))
+        runner = self._compiled_runner(
+            (
+                "npt",
+                num_steps,
+                float(temperature),
+                float(pressure_bar),
+                float(tau_t_fs),
+                float(tau_p_fs),
+                float(kappa_per_bar),
+            ),
+            lambda st: self.step_npt_berendsen(
+                st, temperature, pressure_bar, tau_t_fs, tau_p_fs,
+                kappa_per_bar,
+            ),
         )
         return runner(state)
