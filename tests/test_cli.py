@@ -92,3 +92,19 @@ def test_data_rm_and_clean(tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         main(["data", "rm", p, "nope"])
+
+
+def test_md_traj(water_xyz, tmp_path, capsys):
+    from torchani_tpu.io import read_xyz
+
+    traj = tmp_path / "traj.xyz"
+    main([
+        "md", str(water_xyz), "-m", "simple", "-n", "20", "--timestep",
+        "0.2", "--temperature", "100", "--nvt-nhc", "--traj", str(traj),
+        "--record-every", "5",
+    ])
+    captured = capsys.readouterr().out
+    assert "T =" in captured
+    sp, co, _, _ = read_xyz(traj)
+    assert co.shape == (4, 3, 3)
+    assert np.isfinite(co).all()

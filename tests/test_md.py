@@ -200,3 +200,46 @@ def test_npt_virial_bucket_matches_gather(model):
     fscale = np.abs(f_g).max() + 1e-9
     assert np.abs(f_b - f_g).max() / fscale < 5e-3
     assert abs(v_b - v_g) < 5e-3 * abs(v_g) + 5e-3, (v_b, v_g)
+
+
+@pytest.mark.parametrize("ensemble,params", [
+    ("nve", {}),
+    ("nvt", {"temperature": 200.0}),
+    ("nvt-nhc", {"temperature": 200.0, "tau_fs": 20.0}),
+    ("npt", {"temperature": 200.0, "pressure_bar": 1.0}),
+])
+def test_trajectory_recording(model, ensemble, params):
+    """`trajectory` returns on-device frames; the last frame equals the
+    final state, and all ensembles drive through the same runner."""
+    species, coords, cell = make_water_box(30)
+    md = MolecularDynamics(
+        model, species, cell=cell, pbc=True, timestep_fs=0.5, skin=0.6,
+        npt_compression=0.1 if ensemble == "npt" else 0.0,
+    )
+    st = md.init(coords, temperature=200.0, key=jax.random.PRNGKey(7))
+    st, traj = md.trajectory(
+        st, 20, record_every=5, ensemble=ensemble, **params
+    )
+    assert traj["coords"].shape == (4,) + st.coords.shape
+    assert traj["energies"].shape == (4,)
+    assert np.isfinite(np.asarray(traj["energies"])).all()
+    assert np.isfinite(np.asarray(traj["temperatures"])).all()
+    np.testing.assert_array_equal(
+        np.asarray(traj["coords"][-1]), np.asarray(st.coords)
+    )
+    assert int(st.step) == 20
+    if ensemble == "npt":
+        assert traj["scales"].shape == (4,)
+
+
+def test_trajectory_rejects_bad_args(model):
+    species, coords, cell = make_water_box(30)
+    md = MolecularDynamics(model, species, cell=cell, pbc=True)
+    st = md.init(coords)
+    with pytest.raises(ValueError):
+        md.trajectory(st, 21, record_every=5)
+    with pytest.raises(TypeError):
+        md.trajectory(st, 20, record_every=5, ensemble="nvt",
+                      temperature=100.0, bogus=1)
+    with pytest.raises(ValueError):
+        md.trajectory(st, 20, record_every=5, ensemble="nosuch")

@@ -87,19 +87,29 @@ def cmd_md(args) -> None:
         npt_compression=0.1 if ensemble == "npt" else 0.0,
     )
     state = md.init(coords[0], temperature=args.temperature, key=jax.random.PRNGKey(args.seed))
+    params = {}
+    if ensemble in ("nvt", "nvt-nhc", "npt"):
+        params["temperature"] = args.temperature
+    if ensemble == "npt":
+        params["pressure_bar"] = args.pressure
+    frames = []
     chunk = max(1, min(args.steps, 50))
     done = 0
     while done < args.steps:
         n = min(chunk, args.steps - done)
-        if ensemble == "nvt":
-            state = md.run_langevin(state, n, temperature=args.temperature)
-        elif ensemble == "nvt-nhc":
-            state = md.run_nvt_nose_hoover(state, n, temperature=args.temperature)
-        elif ensemble == "npt":
-            state = md.run_npt_berendsen(
-                state, n, temperature=args.temperature,
-                pressure_bar=args.pressure,
+        if args.traj:
+            rec = max(1, min(args.record_every, n))
+            n = (n // rec) * rec or rec
+            state, traj = md.trajectory(
+                state, n, record_every=rec, ensemble=ensemble, **params
             )
+            frames.append(np.asarray(traj["coords"]))
+        elif ensemble == "nvt":
+            state = md.run_langevin(state, n, **params)
+        elif ensemble == "nvt-nhc":
+            state = md.run_nvt_nose_hoover(state, n, **params)
+        elif ensemble == "npt":
+            state = md.run_npt_berendsen(state, n, **params)
         else:
             state = md.run_nve(state, n)
         done += n
@@ -113,6 +123,15 @@ def cmd_md(args) -> None:
             f"step {done:8d}  E = {float(state.energy):14.6f} Ha  "
             f"T = {temp:8.1f} K  rebuilds = {int(state.rebuilds)}" + extra
         )
+    if args.traj:
+        allf = np.concatenate(frames, axis=0)
+        write_xyz(
+            np.broadcast_to(species[:1], (allf.shape[0],) + species.shape[1:]),
+            allf,
+            args.traj,
+            cell=cell if periodic else None,
+        )
+        print(f"wrote {allf.shape[0]} frames to {args.traj}")
     if args.output:
         write_xyz(
             species[:1],
@@ -363,6 +382,8 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         help="Berendsen NPT (isotropic; periodic systems)",
     )
     p.add_argument("--pressure", type=float, default=1.0, help="bar (NPT)")
+    p.add_argument("--traj", default=None, help="write frames to this xyz")
+    p.add_argument("--record-every", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-o", "--output", default=None)
     p.set_defaults(fn=cmd_md)

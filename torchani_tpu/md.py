@@ -1005,3 +1005,102 @@ class MolecularDynamics:
             ),
         )
         return runner(state)
+
+    def _ensemble_step(self, state: MDState, ensemble: str, params: dict):
+        """(prepared state, step fn, hashable cache-key suffix) for an
+        ensemble name — shared by `trajectory` and the CLI."""
+        p = dict(params)
+        if ensemble == "nve":
+            return state, self.step_nve, ()
+        if ensemble == "langevin" or ensemble == "nvt":
+            t = float(p.pop("temperature"))
+            fr = float(p.pop("friction_per_fs", 0.01))
+            step = lambda st: self.step_langevin(st, t, fr)  # noqa: E731
+            key = (t, fr)
+        elif ensemble == "nvt-nhc":
+            t = float(p.pop("temperature"))
+            tau = float(p.pop("tau_fs", 25.0))
+            if state.nhc is None:
+                state = state.replace(nhc=jnp.zeros((2, p.pop("chain", 3))))
+            else:
+                p.pop("chain", None)
+            step = lambda st: self.step_nvt_nose_hoover(st, t, tau)  # noqa: E731
+            key = (t, tau, state.nhc.shape[1])
+        elif ensemble == "npt":
+            if self.cell is None:
+                raise ValueError("NPT requires a periodic cell")
+            t = float(p.pop("temperature"))
+            pb = float(p.pop("pressure_bar", 1.0))
+            tt_ = float(p.pop("tau_t_fs", 100.0))
+            tp_ = float(p.pop("tau_p_fs", 1000.0))
+            k = float(p.pop("kappa_per_bar", 4.6e-5))
+            if state.scale is None:
+                state = state.replace(scale=jnp.ones(()))
+            step = lambda st: self.step_npt_berendsen(  # noqa: E731
+                st, t, pb, tt_, tp_, k
+            )
+            key = (t, pb, tt_, tp_, k)
+        else:
+            raise ValueError(f"unknown ensemble {ensemble!r}")
+        if p:
+            raise TypeError(f"unused {ensemble} parameters: {sorted(p)}")
+        return state, step, key
+
+    def trajectory(
+        self,
+        state: MDState,
+        num_steps: int,
+        record_every: int = 10,
+        ensemble: str = "nve",
+        **params,
+    ) -> tp.Tuple[MDState, tp.Dict[str, Array]]:
+        """Run ``num_steps`` recording a frame every ``record_every`` steps.
+
+        One device program (nested `lax.scan`: frames are the outer scan's
+        stacked outputs), so recording costs no extra host round-trips.
+        Returns ``(final state, traj)`` with ``traj["coords"] (F, A, 3)``,
+        ``"energies" (F,)``, ``"temperatures" (F,)`` and, for NPT,
+        ``"scales" (F,)``.  The reference records trajectories through
+        ASE dynamics attachments (reference ``ase.py``); here frames stay
+        on-device until the run returns.
+        """
+        if num_steps % record_every:
+            raise ValueError("num_steps must be a multiple of record_every")
+        state, step, key_suffix = self._ensemble_step(state, ensemble, params)
+        frames = num_steps // record_every
+        key = ("traj", ensemble, frames, record_every) + key_suffix
+        cache = getattr(self, "_runner_cache", None)
+        if cache is None:
+            cache = {}
+            self._runner_cache = cache
+        if key not in cache:
+            n_real = self._n_real
+
+            @jax.jit
+            def chunk(st):
+                def inner(st, _):
+                    return step(st), None
+
+                def outer(st, _):
+                    st, _ = jax.lax.scan(
+                        inner, st, None, length=record_every
+                    )
+                    ke = (
+                        0.5
+                        * jnp.sum(self.masses[:, None] * st.velocities**2)
+                        / ACCEL_UNIT
+                    )
+                    temp = 2.0 * ke / (3 * n_real * KB_HARTREE)
+                    frame = {
+                        "coords": st.coords,
+                        "energies": st.energy,
+                        "temperatures": temp,
+                    }
+                    if st.scale is not None:
+                        frame["scales"] = st.scale
+                    return st, frame
+
+                return jax.lax.scan(outer, st, None, length=frames)
+
+            cache[key] = chunk
+        return cache[key](state)
