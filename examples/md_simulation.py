@@ -57,11 +57,13 @@ def main():
     print(f"NVE 200 steps: dE_pot {float(state.energy) - e0:+.5f} Ha, "
           f"neighbor overflow={bool(state.overflow)}")
 
-    # Deterministic NVT: Nose-Hoover chain thermostat.
-    state = md.run_nvt_nose_hoover(state, num_steps=200, temperature=300.0,
-                                   tau_fs=25.0)
-    t = float(kinetic_temperature(state.velocities, md.masses))
-    print(f"NHC NVT: T {t:6.1f} K")
+    # Deterministic NVT (Nose-Hoover chain), recording a trajectory frame
+    # every 10 steps ON DEVICE (no per-frame host round trips).
+    state, traj = md.trajectory(state, num_steps=50, record_every=10,
+                                ensemble="nvt-nhc", temperature=300.0,
+                                tau_fs=25.0)
+    t = float(traj["temperatures"][-1])
+    print(f"NHC NVT: {traj['coords'].shape[0]} frames, T {t:6.1f} K")
 
     # Constant pressure (isotropic Berendsen NPT): construct the driver
     # with `npt_compression` so the neighbor table has headroom for box
@@ -70,9 +72,9 @@ def main():
                                timestep_fs=0.5, npt_compression=0.1)
     st = md_npt.init(jnp.asarray(coords), temperature=300.0,
                      key=jax.random.PRNGKey(2))
-    st = md_npt.run_npt_berendsen(st, num_steps=200, temperature=300.0,
+    st = md_npt.run_npt_berendsen(st, num_steps=50, temperature=300.0,
                                   pressure_bar=1.0)
-    print(f"NPT 200 steps: V/V0 {float(st.scale) ** 3:.4f}, "
+    print(f"NPT 50 steps: V/V0 {float(st.scale) ** 3:.4f}, "
           f"overflow={bool(st.overflow)}")
 
 
