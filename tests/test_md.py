@@ -243,3 +243,30 @@ def test_trajectory_rejects_bad_args(model):
                       temperature=100.0, bogus=1)
     with pytest.raises(ValueError):
         md.trajectory(st, 20, record_every=5, ensemble="nosuch")
+
+
+def test_npt_rebaseline_preserves_physics(model):
+    """Folding the drifted scale into a fresh driver leaves the physical
+    system unchanged: energy/forces match across the rebaseline."""
+    species, coords, cell = make_water_box(30)
+    md = MolecularDynamics(
+        model, species, cell=cell, pbc=True, timestep_fs=0.5, skin=0.6,
+        npt_compression=0.15,
+    )
+    st = md.init(coords, temperature=100.0, key=jax.random.PRNGKey(9))
+    st = md.run_npt_berendsen(
+        st, 40, temperature=100.0, pressure_bar=3.0e4, tau_p_fs=150.0
+    )
+    s_before = float(st.scale)
+    assert s_before != 1.0
+    e_before = float(st.energy)
+    md2, st2 = md.rebaseline(st)
+    assert float(st2.scale) == 1.0
+    assert float(jnp.max(jnp.abs(st2.velocities - st.velocities))) == 0.0
+    assert abs(float(st2.energy) - e_before) < 2e-4 * abs(e_before) + 2e-3
+    # the new driver continues the trajectory
+    st2 = md2.run_npt_berendsen(
+        st2, 10, temperature=100.0, pressure_bar=3.0e4, tau_p_fs=150.0
+    )
+    assert np.isfinite(float(st2.energy))
+    assert not bool(st2.overflow)

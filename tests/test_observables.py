@@ -90,3 +90,17 @@ def test_rdf_from_md_trajectory():
     assert np.isfinite(g).all()
     # O atoms in distinct molecules: no O-O contacts below ~2 A
     assert g[r < 2.0].max() < 0.5
+
+
+def test_diffusion_coefficient_linear():
+    from torchani_tpu.observables import diffusion_coefficient
+
+    rng = np.random.RandomState(3)
+    base = rng.rand(300, 3).astype(np.float64)
+    # isotropic random walk with variance 2*D*dt per axis per frame; a
+    # single-origin MSD needs many walkers for a stable slope (~10% at 300)
+    d_true, dt = 0.05, 2.0
+    steps = rng.randn(400, 300, 3) * np.sqrt(2 * d_true * dt)
+    frames = base[None] + np.cumsum(steps, axis=0)
+    d_est = diffusion_coefficient(frames, frame_interval_fs=dt)
+    assert abs(d_est - d_true) < 0.25 * d_true, d_est

@@ -324,6 +324,14 @@ class MolecularDynamics:
         bucket_refresh: tp.Union[bool, str] = "auto",
         npt_compression: float = 0.0,
     ) -> None:
+        # ctor snapshot (pre-wrapping model) for `rebaseline`
+        self._ctor = dict(
+            model=model, species=species, pbc=pbc, skin=skin,
+            capacity=capacity, bucket_capacity=bucket_capacity,
+            timestep_fs=timestep_fs, nn_precision=nn_precision,
+            auto_capacity=auto_capacity, bucket_refresh=bucket_refresh,
+            npt_compression=npt_compression,
+        )
         # MD defaults the NN matmuls to "high" (3 bf16 MXU passes): max
         # relative force error ~3e-5 vs "highest" — far below thermal noise
         # and inside the reference's own 5e-4 infer-path tolerance
@@ -1005,6 +1013,36 @@ class MolecularDynamics:
             ),
         )
         return runner(state)
+
+    def rebaseline(
+        self, state: MDState
+    ) -> tp.Tuple["MolecularDynamics", MDState]:
+        """Fold an NPT state's drifted scale into a fresh driver.
+
+        Returns a new driver whose init cell is ``scale * cell`` (so grids,
+        capacities and the compression margin re-center on the current
+        density, scale resetting to 1) and a state continuing the same
+        trajectory (coords/velocities/thermostat state preserved, caches
+        rebuilt, forces re-evaluated — identical physical system, so the
+        energy is unchanged).  Call between NPT chunks when ``state.scale``
+        nears the ``npt_compression`` margin (or on ``overflow``).
+        """
+        if state.scale is None:
+            raise ValueError("rebaseline applies to NPT states (scale set)")
+        if self.cell is None:
+            raise ValueError("rebaseline requires a periodic cell")
+        s = float(jax.device_get(state.scale))
+        kw = dict(self._ctor)
+        kw["cell"] = np.asarray(jax.device_get(self.cell)) * s
+        md = MolecularDynamics(**kw)
+        st = md.init(state.coords)
+        return md, st.replace(
+            velocities=state.velocities,
+            key=state.key,
+            step=state.step,
+            nhc=state.nhc,
+            scale=jnp.ones(()),
+        )
 
     def _ensemble_step(self, state: MDState, ensemble: str, params: dict):
         """(prepared state, step fn, hashable cache-key suffix) for an

@@ -18,6 +18,7 @@ __all__ = [
     "radial_distribution",
     "mean_squared_displacement",
     "velocity_autocorrelation",
+    "diffusion_coefficient",
 ]
 
 
@@ -108,6 +109,24 @@ def mean_squared_displacement(frames: Array) -> np.ndarray:
     frames = jnp.asarray(frames)
     d = frames - frames[0][None]
     return np.asarray(jnp.mean(jnp.sum(d * d, axis=-1), axis=-1))
+
+
+def diffusion_coefficient(
+    frames: Array, frame_interval_fs: float, fit_from: float = 0.5
+) -> float:
+    """Einstein diffusion coefficient D = slope(MSD)/6 in Angstrom^2/fs.
+
+    Least-squares slope over the tail of the MSD curve (``fit_from``
+    fraction onward, skipping the ballistic/cage regime).  Multiply by
+    1e-1 for cm^2/s.
+    """
+    msd = mean_squared_displacement(frames)
+    f = msd.shape[0]
+    start = min(f - 2, max(1, int(f * fit_from)))
+    t = np.arange(start, f) * frame_interval_fs
+    y = msd[start:]
+    slope = np.polyfit(t, y, 1)[0]
+    return float(slope / 6.0)
 
 
 def velocity_autocorrelation(velocities: Array) -> np.ndarray:
