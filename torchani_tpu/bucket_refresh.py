@@ -301,76 +301,109 @@ def _pick_rc(r: int, bytes_per_lane: int, budget_bytes: int = 4 * 2**20) -> int:
     return 128
 
 
+def _pick_nb(g: int, per_bucket_bytes: int, scratch_bytes: int) -> int:
+    """Buckets per grid step: each step's body is small (a (288, C) x (C, RC)
+    dot + VPU masks), so at realistic shapes the (G, R/RC) grid is dominated
+    by per-step sequencing overhead, not compute.  Batching NB buckets into
+    one step via an in-kernel fori_loop amortizes it.  NB must divide G;
+    block buffers are double-buffered (x2), the loop scratch is not."""
+    import os
+
+    forced = os.environ.get("TORCHANI_TPU_BUCKETDOT_NB")
+    if forced:
+        return max(1, min(int(forced), g)) if g % int(forced) == 0 else 1
+    budget = 12 * 2**20
+    best = 1
+    for nb in range(2, min(g, 64) + 1):
+        if g % nb == 0 and 2 * nb * per_bucket_bytes + scratch_bytes <= budget:
+            best = nb
+    return best
+
+
 _DN = (((1,), (0,)), ((), ()))
 
 
-def _fwd_kernel(c, keys_ref, v_ref, out_ref):
-    kk = keys_ref[0, 0]  # (RC,) int32
-    rc = kk.shape[0]
-    rank = kk & 255
-    sec = kk >> 8  # 27 = sentinel -> hits the zero-padded row 27
-    ranks = jax.lax.broadcasted_iota(jnp.int32, (c, rc), 0)
-    sel_r = (ranks == rank[None, :]).astype(jnp.bfloat16)  # (C, RC)
-    # rank contraction on the MXU: one tall LHS of the three bf16 split
-    # planes, each plane a (96, C) block of rows d*32 + s (sections padded
-    # 27 -> 32 so every slab below is sublane-tile aligned — unaligned
-    # 3-row or 27-row slices forced Mosaic relayouts that dominated the
-    # kernel, and a 27-term unrolled FMA body hung its compiler).  Each
-    # row picks ONE candidate, so f32 accumulation of the split rows is
-    # the exact f32 value.
-    tmp = jax.lax.dot_general(
-        v_ref[0], sel_r, _DN, preferred_element_type=jnp.float32
-    )  # (288, RC); rows [hi(96); mid(96); lo(96)]
-    t = tmp[0:96] + tmp[96:192] + tmp[192:288]  # (96, RC) exact
-    # section combine: per coord d, a 32-row aligned masked sublane-sum.
-    # Sentinel lanes (sec == 27) select the zero pad rows -> exact 0.
-    secs = jax.lax.broadcasted_iota(jnp.int32, (32, rc), 0)
-    m32 = (secs == sec[None, :]).astype(jnp.float32)  # (32, RC)
-    res = jnp.concatenate(
-        [
-            jnp.sum(t[32 * d : 32 * d + 32] * m32, axis=0, keepdims=True)
-            for d in range(3)
-        ]
-        + [jnp.zeros((5, rc), jnp.float32)],
-        axis=0,
-    )  # (8, RC)
-    out_ref[0] = res
+def _fwd_kernel(c, nb, keys_ref, v_ref, out_ref):
+    def body(b, carry):
+        kk = keys_ref[b, 0]  # (RC,) int32
+        rc = kk.shape[0]
+        rank = kk & 255
+        sec = kk >> 8  # 27 = sentinel -> hits the zero-padded row 27
+        ranks = jax.lax.broadcasted_iota(jnp.int32, (c, rc), 0)
+        sel_r = (ranks == rank[None, :]).astype(jnp.bfloat16)  # (C, RC)
+        # rank contraction on the MXU: one tall LHS of the three bf16 split
+        # planes, each plane a (96, C) block of rows d*32 + s (sections
+        # padded 27 -> 32 so every slab below is sublane-tile aligned —
+        # unaligned 3-row or 27-row slices forced Mosaic relayouts that
+        # dominated the kernel, and a 27-term unrolled FMA body hung its
+        # compiler).  Each row picks ONE candidate, so f32 accumulation of
+        # the split rows is the exact f32 value.
+        tmp = jax.lax.dot_general(
+            v_ref[b], sel_r, _DN, preferred_element_type=jnp.float32
+        )  # (288, RC); rows [hi(96); mid(96); lo(96)]
+        t = tmp[0:96] + tmp[96:192] + tmp[192:288]  # (96, RC) exact
+        # section combine: per coord d, a 32-row aligned masked sublane-sum.
+        # Sentinel lanes (sec == 27) select the zero pad rows -> exact 0.
+        secs = jax.lax.broadcasted_iota(jnp.int32, (32, rc), 0)
+        m32 = (secs == sec[None, :]).astype(jnp.float32)  # (32, RC)
+        res = jnp.concatenate(
+            [
+                jnp.sum(t[32 * d : 32 * d + 32] * m32, axis=0, keepdims=True)
+                for d in range(3)
+            ]
+            + [jnp.zeros((5, rc), jnp.float32)],
+            axis=0,
+        )  # (8, RC)
+        out_ref[b] = res
+        return carry
+
+    # NB buckets per grid step (amortizes per-step sequencing overhead);
+    # fori_loop, not an unrolled python loop — 32x unrolled bodies have
+    # choked the Mosaic compiler before.
+    jax.lax.fori_loop(0, nb, body, 0)
 
 
-def _bwd_kernel(c, g16_ref, keys_ref, out_ref):
+def _bwd_kernel(c, nb, g16_ref, keys_ref, out_ref):
     r = pl.program_id(1)
-    kk = keys_ref[0, 0]  # (RC,)
-    rc = kk.shape[0]
-    rank = kk & 255
-    sec = kk >> 8
-    ranks = jax.lax.broadcasted_iota(jnp.int32, (rc, c), 1)
-    sel_r = (ranks == rank[:, None]).astype(jnp.bfloat16)  # (RC, C)
-    # one tall (288, RC) LHS: rows p*96 + d*32 + s — per (split, coord) a
-    # 32-row aligned slab of the section-masked cotangent row (products are
-    # exact: bf16 x {0,1}).  Same aligned-slab reasoning as _fwd_kernel.
-    # Sentinel lanes land in the discarded pad rows s in [27, 32).
-    secs = jax.lax.broadcasted_iota(jnp.int32, (32, rc), 0)
-    m32 = (secs == sec[None, :]).astype(jnp.bfloat16)  # (32, RC)
-    h = jnp.concatenate(
-        [
-            m32 * g16_ref[0][3 * p + d][None, :]
-            for p in range(3)
-            for d in range(3)
-        ],
-        axis=0,
-    )  # (288, RC)
-    tmp = jax.lax.dot_general(
-        h, sel_r, _DN, preferred_element_type=jnp.float32
-    )  # (288, C) rows (p, d, s)
-    part = tmp[0:96] + tmp[96:192] + tmp[192:288]  # (96, C) exact p-sum
 
-    @pl.when(r == 0)
-    def _():
-        out_ref[0] = part
+    def body(b, carry):
+        kk = keys_ref[b, 0]  # (RC,)
+        rc = kk.shape[0]
+        rank = kk & 255
+        sec = kk >> 8
+        ranks = jax.lax.broadcasted_iota(jnp.int32, (rc, c), 1)
+        sel_r = (ranks == rank[:, None]).astype(jnp.bfloat16)  # (RC, C)
+        # one tall (288, RC) LHS: rows p*96 + d*32 + s — per (split, coord)
+        # a 32-row aligned slab of the section-masked cotangent row
+        # (products are exact: bf16 x {0,1}).  Same aligned-slab reasoning
+        # as _fwd_kernel.  Sentinel lanes land in the discarded pad rows
+        # s in [27, 32).
+        secs = jax.lax.broadcasted_iota(jnp.int32, (32, rc), 0)
+        m32 = (secs == sec[None, :]).astype(jnp.bfloat16)  # (32, RC)
+        h = jnp.concatenate(
+            [
+                m32 * g16_ref[b][3 * p + d][None, :]
+                for p in range(3)
+                for d in range(3)
+            ],
+            axis=0,
+        )  # (288, RC)
+        tmp = jax.lax.dot_general(
+            h, sel_r, _DN, preferred_element_type=jnp.float32
+        )  # (288, C) rows (p, d, s)
+        part = tmp[0:96] + tmp[96:192] + tmp[192:288]  # (96, C) exact p-sum
 
-    @pl.when(r != 0)
-    def _():
-        out_ref[0] += part
+        @pl.when(r == 0)
+        def _():
+            out_ref[b] = part
+
+        @pl.when(r != 0)
+        def _():
+            out_ref[b] += part
+
+        return carry
+
+    jax.lax.fori_loop(0, nb, body, 0)
 
 
 def _interpret() -> bool:
@@ -386,15 +419,16 @@ def _bucket_select_fwd(cand16, keys: Array) -> Array:
     r = keys.shape[1]
     # tmp (288, RC) f32 dominates the kernel's VMEM footprint
     rc = _pick_rc(r, 4 * 288 + 2 * c + 96)
+    nb = _pick_nb(g, rc * (4 + 32 * 4) + 288 * c * 2, 288 * rc * 4)
     v = jnp.concatenate([hi, mid, lo], axis=1)  # (G, 288, C)
     return pl.pallas_call(
-        partial(_fwd_kernel, c),
-        grid=(g, r // rc),
+        partial(_fwd_kernel, c, nb),
+        grid=(g // nb, r // rc),
         in_specs=[
-            pl.BlockSpec((1, 1, rc), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, 288, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((nb, 1, rc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((nb, 288, c), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 8, rc), lambda i, j: (i, 0, j)),
+        out_specs=pl.BlockSpec((nb, 8, rc), lambda i, j: (i, 0, j)),
         out_shape=jax.ShapeDtypeStruct((g, 8, r), jnp.float32),
         interpret=_interpret(),
     )(keys.reshape(g, 1, r), v)
@@ -407,14 +441,15 @@ def _bucket_select_bwd(g16: Array, keys: Array, c: int) -> Array:
     g, _, r = g16.shape
     # h (288, RC) bf16 + tmp (288, C) f32 dominate the VMEM footprint
     rc = _pick_rc(r, 2 * 288 + 2 * c + 96)
+    nb = _pick_nb(g, rc * (4 + 16 * 2) + 96 * c * 4, 288 * rc * 2 + 288 * c * 4)
     return pl.pallas_call(
-        partial(_bwd_kernel, c),
-        grid=(g, r // rc),
+        partial(_bwd_kernel, c, nb),
+        grid=(g // nb, r // rc),
         in_specs=[
-            pl.BlockSpec((1, 16, rc), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, 1, rc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((nb, 16, rc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((nb, 1, rc), lambda i, j: (i, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, 96, c), lambda i, j: (i, 0, 0)),
+        out_specs=pl.BlockSpec((nb, 96, c), lambda i, j: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((g, 96, c), jnp.float32),
         interpret=_interpret(),
     )(g16, keys.reshape(g, 1, r))
