@@ -203,6 +203,137 @@ def test_bucket_overflow_flags():
     assert bool(overflow1)
 
 
+# ---------------------------------------------------------------------------
+# atom-packed layout (bucket_refresh_packed)
+# ---------------------------------------------------------------------------
+
+
+def _packed_setup(seed=0, c=32):
+    """Random periodic topology -> (BucketTables, PackedTables, fixtures)."""
+    from torchani_tpu.bucket_refresh_packed import choose_span, pack_tables
+
+    coords, cell, grid, idx, mask, shift, diff_ref = _random_periodic_topology(
+        seed
+    )
+    a, k = idx.shape
+    ws = jnp.asarray(make_wrapshift(grid, np.asarray(cell)))
+    tables, overflow = jax.jit(
+        lambda *args: build_bucket_tables(*args, grid_shape=grid, c=c, wrapshift=ws)
+    )(coords, idx, mask, shift, jnp.ones((a,), bool), cell)
+    assert not bool(overflow)
+    g = int(np.prod(grid))
+    counts = np.asarray(
+        jnp.sum((tables.atom_of_slot < a).reshape(g, c), axis=1)
+    )
+    sb, s_cap = choose_span(grid, counts, c)
+    packed, povf = jax.jit(lambda t: pack_tables(t, sb, s_cap))(tables)
+    assert not bool(povf)
+    return coords, cell, idx, mask, shift, diff_ref, tables, packed
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_packed_nbr_pos_matches_bucket(seed):
+    """Atom-packed forward == slot-row forward == cached gather diffs."""
+    from torchani_tpu.bucket_refresh_packed import packed_nbr_pos
+
+    coords, cell, idx, mask, _, diff_ref, tables, packed = _packed_setup(seed)
+    a, k = idx.shape
+    canon = coords - packed.wrap_offset
+    nbr = jax.jit(packed_nbr_pos)(canon, packed)[:, :k]
+    diff = jnp.where(mask[..., None], nbr - canon[:, None, :], 0.0)
+    err = float(jnp.max(jnp.abs(diff - diff_ref)))
+    assert err < 2e-4, err
+    # and bit-identical to the slot-row path (same selection, same canon)
+    nbr_slot = jax.jit(bucket_nbr_pos)(
+        canon, tables.keys, tables.atom_of_slot, tables.slot_of_atom,
+        tables.wrapshift,
+    )
+    m = mask[..., None]
+    assert float(jnp.max(jnp.abs(jnp.where(m, nbr - nbr_slot, 0.0)))) == 0.0
+
+
+def test_packed_nbr_pos_backward_matches_gather():
+    from torchani_tpu.bucket_refresh_packed import packed_nbr_pos
+
+    coords, cell, idx, mask, shift, _, tables, packed = _packed_setup(1)
+    a, k = idx.shape
+    w = jnp.asarray(np.random.RandomState(7).randn(a, k, 3).astype(np.float32))
+
+    def loss_packed(crd):
+        canon = crd - packed.wrap_offset
+        nbr = packed_nbr_pos(canon, packed)[:, :k]
+        d = jnp.where(mask[..., None], nbr - canon[:, None, :], 0.0)
+        return jnp.sum(w * d)
+
+    def loss_gather(crd):
+        nbr = jnp.take(crd, jnp.where(mask, idx, 0), axis=0)
+        d = nbr - crd[:, None, :] + shift
+        d = jnp.where(mask[..., None], d, 0.0)
+        return jnp.sum(w * d)
+
+    gp = jax.jit(jax.grad(loss_packed))(coords)
+    gg = jax.jit(jax.grad(loss_gather))(coords)
+    scale = float(jnp.max(jnp.abs(gg))) + 1e-9
+    assert float(jnp.max(jnp.abs(gp - gg))) / scale < 1e-5
+
+
+def test_packed_kernel_branch_interpret():
+    """Force the Pallas-kernel branch off-TPU (interpret mode) so the kernel
+    bodies AND the reshape glue around them are exercised; must be bit-exact
+    vs the reference-gather branch."""
+    import torchani_tpu.bucket_refresh_packed as brp
+
+    coords, cell, idx, mask, _, _, tables, packed = _packed_setup(2)
+    a, k = idx.shape
+    canon = coords - packed.wrap_offset
+    ref = brp.packed_nbr_pos(canon, packed)
+    w = jnp.asarray(np.random.RandomState(9).randn(a, k, 3).astype(np.float32))
+
+    def loss(crd):
+        nbr = brp.packed_nbr_pos(crd - packed.wrap_offset, packed)[:, :k]
+        d = jnp.where(mask[..., None], nbr - crd[:, None, :] + packed.wrap_offset[:, None], 0.0)
+        return jnp.sum(w * d)
+
+    g_ref = jax.grad(loss)(coords)
+    old = brp._FORCE_KERNEL
+    brp._FORCE_KERNEL = True
+    try:
+        out = brp.packed_nbr_pos(canon, packed)
+        g_k = jax.grad(loss)(coords)
+    finally:
+        brp._FORCE_KERNEL = old
+    m = mask[..., None]
+    assert float(jnp.max(jnp.abs(jnp.where(m, out[:, :k] - ref[:, :k], 0.0)))) == 0.0
+    # backward: kernel sums bf16 split planes in a different order than the
+    # reference scatter-add -> f32 reduction-order noise only
+    scale = float(jnp.max(jnp.abs(g_ref))) + 1e-9
+    assert float(jnp.max(jnp.abs(g_k - g_ref))) / scale < 1e-6
+
+
+def test_pack_tables_span_overflow_guard():
+    """On span overflow: flag set, and rows never collide across spans (an
+    overflowing span must not corrupt its neighbor's atoms)."""
+    from torchani_tpu.bucket_refresh_packed import pack_tables
+
+    coords, cell, grid, idx, mask, shift, _ = _random_periodic_topology(4)
+    a, k = idx.shape
+    c = 32
+    ws = jnp.asarray(make_wrapshift(grid, np.asarray(cell)))
+    tables, overflow = build_bucket_tables(
+        coords, idx, mask, shift, jnp.ones((a,), bool), cell,
+        grid_shape=grid, c=c, wrapshift=ws,
+    )
+    assert not bool(overflow)
+    packed, povf = pack_tables(tables, 1, 8)  # far below occupancy
+    assert bool(povf)
+    row_of_atom = np.asarray(packed.row_of_atom)
+    atom_of_row = np.asarray(packed.atom_of_row)
+    kept = np.where(row_of_atom >= 0)[0]
+    # each kept atom owns its row exclusively and maps back to itself
+    assert len(set(row_of_atom[kept])) == len(kept)
+    assert (atom_of_row[row_of_atom[kept]] == kept).all()
+
+
 def test_md_bucket_path_matches_gather_path():
     model = tt.simple_ani(("H", "O"), ensemble_size=1)
     # low density -> a 20 A box from 150 atoms, so the bucket grid gets the
@@ -222,16 +353,22 @@ def test_md_bucket_path_matches_gather_path():
         st = md.run_nve(st, 12)
         return md, st
 
-    md_b, st_b = run(True)
+    from torchani_tpu.bucket_refresh_packed import PackedTables
+
     md_g, st_g = run(False)
-    assert md_b._bucket_c is not None and st_b.bucket is not None
     assert st_g.bucket is None
-    assert int(st_b.rebuilds) == int(st_g.rebuilds)
-    assert not bool(st_b.overflow)
-    de = abs(float(st_b.energy) - float(st_g.energy))
-    assert de < 5e-5 * abs(float(st_g.energy)) + 5e-5, de
-    fscale = float(jnp.max(jnp.abs(st_g.forces))) + 1e-9
-    ferr = float(jnp.max(jnp.abs(st_b.forces - st_g.forces))) / fscale
-    assert ferr < 5e-3, ferr
-    cerr = float(jnp.max(jnp.abs(st_b.coords - st_g.coords)))
-    assert cerr < 1e-3, cerr
+    for strategy in (True, "packed"):
+        md_b, st_b = run(strategy)
+        assert md_b._bucket_c is not None and st_b.bucket is not None
+        if strategy == "packed":
+            assert isinstance(st_b.bucket, PackedTables)
+            assert md_b._bucket_span is not None
+        assert int(st_b.rebuilds) == int(st_g.rebuilds)
+        assert not bool(st_b.overflow)
+        de = abs(float(st_b.energy) - float(st_g.energy))
+        assert de < 5e-5 * abs(float(st_g.energy)) + 5e-5, de
+        fscale = float(jnp.max(jnp.abs(st_g.forces))) + 1e-9
+        ferr = float(jnp.max(jnp.abs(st_b.forces - st_g.forces))) / fscale
+        assert ferr < 5e-3, ferr
+        cerr = float(jnp.max(jnp.abs(st_b.coords - st_g.coords)))
+        assert cerr < 1e-3, cerr

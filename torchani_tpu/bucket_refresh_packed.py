@@ -29,7 +29,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -44,9 +43,14 @@ from torchani_tpu.bucket_refresh import (
     BucketTables,
 )
 
-__all__ = ["PackedTables", "pack_tables", "packed_nbr_pos"]
+__all__ = ["PackedTables", "choose_span", "pack_tables", "packed_nbr_pos"]
 
 _DN = (((1,), (0,)), ((), ()))
+
+#: test hook: force the Pallas-kernel branch of `_fwd_impl`/`_bwd_impl` even
+#: off-TPU (the kernels then run in interpret mode) so the reshape glue
+#: around the kernels is exercised without hardware.
+_FORCE_KERNEL = False
 
 
 class PackedTables(struct.PyTreeNode):
@@ -66,6 +70,52 @@ class PackedTables(struct.PyTreeNode):
     slot_of_atom: Array  # (A,) int32, -1 invalid (backward scatter target)
     wrap_offset: Array  # (A, 3) f32 frozen: canon = coords - wrap_offset
     wrapshift: Array  # (gx, gy, gz, 27, 3) f32
+
+
+def choose_span(
+    grid_shape: tp.Tuple[int, int, int],
+    bucket_counts,  # (G,) host per-bucket occupancy (e.g. np.bincount)
+    c: int,
+    kl: int = 128,  # padded lane count (next 128-multiple of K)
+    vmem_budget: int = 10 * 2**20,
+) -> tp.Tuple[int, int]:
+    """Host-side static ``(sb, s_cap)`` choice at MD init.
+
+    ``sb`` (buckets per span) must divide G and every per-step kernel block
+    must fit the VMEM budget with double buffering — both the candidate
+    plane ``(sb*288, C)`` AND the lane-wide blocks that scale with
+    ``s_cap*KL`` (keys, the (8, s_cap*KL) f32 output, the (16, s_cap*KL)
+    bf16 cotangent).  Among the fits, pick the span minimizing total kernel
+    rows ``n_spans * s_cap`` (the MAC count is proportional), tie-breaking
+    toward larger spans (fewer grid steps).  ``s_cap`` covers the measured
+    per-span 8-padded occupancy with the same ~8% + const margin as the
+    other capacity auto-tunes.
+    """
+    import numpy as np
+
+    g = int(np.prod(grid_shape))
+    counts = np.asarray(bucket_counts, np.int64)
+    if counts.shape != (g,):
+        raise ValueError(f"bucket_counts must be shape ({g},)")
+    padded = ((counts + 7) // 8) * 8
+    best = None
+    for sb in range(1, g + 1):
+        if g % sb:
+            continue
+        spans = padded.reshape(g // sb, sb).sum(axis=1)
+        need = int(spans.max())
+        s_cap = max(8, -(-int(need * 1.08 + 8) // 8) * 8)
+        lanes = s_cap * kl
+        fwd_bytes = lanes * 4 + sb * 288 * c * 2 + 8 * lanes * 4
+        bwd_bytes = 16 * lanes * 2 + lanes * 4 + sb * 96 * c * 4
+        if 2 * max(fwd_bytes, bwd_bytes) > vmem_budget:
+            continue
+        cost = (g // sb) * s_cap
+        if best is None or cost < best[0] or (cost == best[0] and sb > best[1]):
+            best = (cost, sb, s_cap)
+    if best is None:
+        raise ValueError(f"no span size sb fits VMEM budget at c={c}")
+    return best[1], best[2]
 
 
 def pack_tables(
@@ -100,8 +150,16 @@ def pack_tables(
     row_of_atom = jnp.where(
         slot >= 0, jnp.take(row_base, jnp.maximum(slot, 0) // c) + slot % c, -1
     ).astype(jnp.int32)
-    # under overflow rows can run past the span; drop them (flag is set)
-    row_ok = (row_of_atom >= 0) & (row_of_atom < n_rows)
+    # Under overflow a span's rows can run past s_cap INTO THE NEXT SPAN's
+    # valid row range, where they would collide with that span's atoms in
+    # the atom_of_row scatter and corrupt a non-overflowing span.  Reject
+    # any row outside its own span (the flag is set either way).
+    span_of_atom = jnp.where(slot >= 0, (slot // c) // sb, -1)
+    row_ok = (
+        (row_of_atom >= 0)
+        & (row_of_atom < n_rows)
+        & (row_of_atom // s_cap == span_of_atom)
+    )
     atom_of_row = (
         jnp.full((n_rows + 1,), a, jnp.int32)
         .at[jnp.where(row_ok, row_of_atom, n_rows)]
@@ -155,8 +213,13 @@ def pack_tables(
 
 
 def _pfwd_kernel(c, n_tiles, tl, tiles_ref, keys_ref, v_ref, out_ref):
+    # tiles_ref is the FULL (n_spans, n_tiles) SMEM table (a partial block
+    # would violate Mosaic's (8, 128)-divisible-block rule; the whole table
+    # is a few KB and stays SMEM-resident)
+    span = pl.program_id(0)
+
     def body(t, carry):
-        b = tiles_ref[0, t]  # local bucket of this tile (SMEM scalar)
+        b = tiles_ref[span, t]  # local bucket of this tile (SMEM scalar)
         kk = keys_ref[0, 0, pl.ds(t * tl, tl)]  # (TL,) int32
         rank = kk & 255
         sec = kk >> 8  # 27 = sentinel -> hits the zero pad row
@@ -187,9 +250,10 @@ def _pfwd_kernel(c, n_tiles, tl, tiles_ref, keys_ref, v_ref, out_ref):
 
 def _pbwd_kernel(c, n_tiles, tl, tiles_ref, g16_ref, keys_ref, out_ref):
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    span = pl.program_id(0)
 
     def body(t, carry):
-        b = tiles_ref[0, t]
+        b = tiles_ref[span, t]
         kk = keys_ref[0, 0, pl.ds(t * tl, tl)]
         rank = kk & 255
         sec = kk >> 8
@@ -228,7 +292,7 @@ def _packed_select_fwd(cand16, keys_flat: Array, tile_bucket: Array) -> Array:
         grid=(ns,),
         in_specs=[
             pl.BlockSpec(
-                (1, n_tiles), lambda i: (i, 0), memory_space=pltpu.SMEM
+                (ns, n_tiles), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec((1, 1, lanes), lambda i: (i, 0, 0)),
             pl.BlockSpec((sb, 288, c), lambda i: (i, 0, 0)),
@@ -254,7 +318,7 @@ def _packed_select_bwd(
         grid=(ns,),
         in_specs=[
             pl.BlockSpec(
-                (1, n_tiles), lambda i: (i, 0), memory_space=pltpu.SMEM
+                (ns, n_tiles), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec((1, 16, lanes), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 1, lanes), lambda i: (i, 0, 0)),
@@ -292,7 +356,7 @@ def _fwd_impl(canon, pt: PackedTables):
     a = canon.shape[0]
     cand = _cand_table(canon, pt.atom_of_slot, pt.wrapshift, grid, c)
     cand3 = cand.transpose(0, 3, 1, 2)  # (G, 3, 27, C)
-    if _interpret():
+    if _interpret() and not _FORCE_KERNEL:
         # CPU reference: per-lane joint selection as a plain gather
         flat = jnp.concatenate(
             [
@@ -335,7 +399,7 @@ def _bwd_impl(g_out, pt: PackedTables):
     )
     g_rows = jnp.take(g_pad, jnp.minimum(pt.atom_of_row, a), axis=0)
     g3 = g_rows.reshape(ns, s_cap, kl, 3)
-    if _interpret():
+    if _interpret() and not _FORCE_KERNEL:
         keys = pt.keys_flat.reshape(ns, s_cap, kl)
         sec, rank = keys >> 8, keys & 255
         gb = _global_bucket_of_row(pt, ns, sb, s_cap)

@@ -27,6 +27,12 @@ from torchani_tpu.bucket_refresh import (
     make_wrapshift,
     tables_from_cell_aux,
 )
+from torchani_tpu.bucket_refresh_packed import (
+    PackedTables,
+    choose_span,
+    pack_tables,
+    packed_nbr_pos,
+)
 from torchani_tpu.neighbors import Neighbors, cell_list, _static_grid_shape
 from torchani_tpu.utils import get_atomic_masses
 
@@ -73,7 +79,9 @@ class MDState(struct.PyTreeNode):
     # Bucket-dot refresh tables (periodic cell-list systems): when present,
     # the per-step diff recomputation runs as bucket-local one-hot MXU
     # contractions instead of per-row gathers (see bucket_refresh.py).
-    bucket: tp.Optional[BucketTables] = None
+    # `PackedTables` selects the atom-packed kernel layout (~1.8x fewer
+    # MACs; bucket_refresh_packed.py), `BucketTables` the slot-row layout.
+    bucket: tp.Optional[tp.Union[BucketTables, PackedTables]] = None
     # NPT: isotropic cell scale factor s (physical cell = s * init cell).
     # Neighbor topology is built from REDUCED coordinates (coords / s)
     # against the static init cell, so the compiled programs never see a
@@ -269,13 +277,17 @@ def _refresh_neighbors(
         # bucket-dot path: the MXU contraction reproduces coords[idx] + shift
         # exactly (canonical coordinates; see bucket_refresh.py)
         canon = coords - state.bucket.wrap_offset
-        nbr_pos = bucket_nbr_pos(
-            canon,
-            state.bucket.keys,
-            state.bucket.atom_of_slot,
-            state.bucket.slot_of_atom,
-            state.bucket.wrapshift,
-        )
+        if isinstance(state.bucket, PackedTables):
+            k = state.nbr_idx.shape[1]
+            nbr_pos = packed_nbr_pos(canon, state.bucket)[:, :k]
+        else:
+            nbr_pos = bucket_nbr_pos(
+                canon,
+                state.bucket.keys,
+                state.bucket.atom_of_slot,
+                state.bucket.slot_of_atom,
+                state.bucket.wrapshift,
+            )
         diff = nbr_pos - canon[:, None, :]
     else:
         nbr_pos = _gather_nbr_pos(
@@ -435,10 +447,15 @@ class MolecularDynamics:
         # neighbor-position row gather + its backward with bucket-local
         # one-hot MXU contractions (bucket_refresh.py).  "auto" = on for
         # periodic cells; slot capacity is measured at the first init.
+        # "packed"/auto additionally repack kernel rows by atom instead of
+        # (bucket, slot) — ~1.8x fewer MACs (bucket_refresh_packed.py);
+        # "slot" pins the slot-row layout.
         self._bucket_on = (
             bool(bucket_refresh) if bucket_refresh != "auto" else cell is not None
         ) and cell is not None
+        self._bucket_packed = bucket_refresh == "packed"
         self._bucket_c: tp.Optional[int] = None
+        self._bucket_span: tp.Optional[tp.Tuple[int, int]] = None
         self._wrapshift: tp.Optional[np.ndarray] = None
         self._valid_atom = host_elem >= 0
         # thermostat/barostat degrees of freedom: real atoms only (dummies
@@ -461,8 +478,8 @@ class MolecularDynamics:
             cell = np.diag(np.maximum(span, self.build_radius))
             self.grid_shape = _static_grid_shape(cell, self.build_radius)
 
-    def _measure_occupancy(self, coords: Array) -> tp.Optional[int]:
-        """Max atoms-per-bucket of the initial configuration (host numpy).
+    def _bucket_histogram(self, coords: Array) -> tp.Optional[np.ndarray]:
+        """(G,) atoms-per-bucket of the initial configuration (host numpy).
 
         None when there is no periodic cell to bin against (the grid is then
         span-derived and the auto bucket heuristic is the only option).
@@ -482,7 +499,12 @@ class MolecularDynamics:
             np.array([gx, gy, gz]) - 1,
         )
         bucket = (idx3[:, 0] * gy + idx3[:, 1]) * gz + idx3[:, 2]
-        return int(np.bincount(bucket, minlength=gx * gy * gz).max())
+        return np.bincount(bucket, minlength=gx * gy * gz)
+
+    def _measure_occupancy(self, coords: Array) -> tp.Optional[int]:
+        """Max atoms-per-bucket of the initial configuration (host numpy)."""
+        counts = self._bucket_histogram(coords)
+        return None if counts is None else int(counts.max())
 
     def _ensure_bucket_capacity(self, coords: Array) -> None:
         """Pin the cell list's bucket capacity to measured occupancy.
@@ -515,10 +537,11 @@ class MolecularDynamics:
             # cell_list falls back to all-pairs images here (no bucket aux)
             self._bucket_on = False
             return
-        occ = self._measure_occupancy(coords)
-        if occ is None:
+        counts = self._bucket_histogram(coords)
+        if counts is None:
             self._bucket_on = False
             return
+        occ = int(counts.max())
         cell = np.asarray(jax.device_get(self.cell), np.float64)
         # modest margin: the multiple-of-`step` round-up adds headroom of its
         # own, and overflow is flagged per rebuild (kernel cost ~ c)
@@ -529,6 +552,14 @@ class MolecularDynamics:
             self._bucket_on = False
             return
         self._bucket_c = c
+        if self._bucket_packed:
+            # static (buckets-per-span, rows-per-span) for the atom-packed
+            # kernel layout, measured like the other capacity auto-tunes
+            try:
+                kl = -(-self.capacity // 128) * 128
+                self._bucket_span = choose_span(self.grid_shape, counts, c, kl)
+            except ValueError:
+                self._bucket_packed = False
         self._wrapshift = make_wrapshift(self.grid_shape, cell)
         # the build program's output structure now includes the tables
         self._build_jit = None
@@ -641,6 +672,9 @@ class MolecularDynamics:
                 jnp.asarray(self._wrapshift),
                 self._bucket_c,
             )
+            if self._bucket_span is not None:
+                tables, povf = pack_tables(tables, *self._bucket_span)
+                overflow = overflow | povf
             rev = jnp.zeros((1, 1), jnp.int32)  # unused in bucket mode
             return idx, mask, shift, nbr_elem, rev, overflow, tables
         # partner-lane map for the scatter-free force backward: hash each
