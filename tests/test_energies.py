@@ -23,7 +23,14 @@ def setup():
 def test_energies(setup):
     model, g = setup
     e = np.asarray(model(jnp.asarray(g["species"]), jnp.asarray(g["coords"])))
-    np.testing.assert_allclose(e, g["energies"], atol=5e-5)
+    # Total energies are dominated by the ~O(100 Ha) self-energy sum, where
+    # one f32 ulp is ~3e-5 Ha — an absolute 1e-5 gate on TOTALS is below
+    # f32 representational precision (the reference accumulates the same
+    # sums in different order; measured residue = exactly 1 ulp).  Gate
+    # totals at 1e-5 + 2 ulp relative; the strict 1e-5 Ha BASELINE gate is
+    # enforced where it is representable: per-atom energies
+    # (test_atomic_energies) and forces (test_forces), both pure 1e-5.
+    np.testing.assert_allclose(e, g["energies"], atol=1e-5, rtol=2.4e-7)
 
 
 def test_forces(setup):
@@ -39,7 +46,7 @@ def test_atomic_energies(setup):
     at = np.asarray(
         model(jnp.asarray(g["species"]), jnp.asarray(g["coords"]), atomic=True)
     )
-    np.testing.assert_allclose(at, g["atomic"], atol=5e-5)
+    np.testing.assert_allclose(at, g["atomic"], atol=1e-5)
 
 
 def test_member_energies(setup):

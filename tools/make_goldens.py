@@ -302,6 +302,111 @@ def make_vib_goldens():
     print("wrote vib_goldens.npz")
 
 
+def make_zoo_goldens():
+    """Published-architecture goldens through the reference factories.
+
+    The real pretrained ``.pt`` files cannot be downloaded in this
+    environment, so the next-best parity artifact is the reference's OWN
+    architectures with seeded random weights: the state dicts carry the
+    exact published key schemes (ANI-2x: 8 members x 7 species; ANI-2xr:
+    simple_ani + repulsion; ANI-mbis: ANIq + DiscardFirstScalar charge
+    networks), so `convert.load_state_dict` is validated against the full
+    real scheme and a real ``.pt`` will load bit-correctly the day one
+    appears (reference models.py:165-252).
+    """
+    from torchani.arch import ANIq, Assembler, simple_ani
+    from torchani.electro import ChargeNormalizer
+    from torchani.nn._internal import _ANINetworksDiscardFirstScalar
+    from torchani.utils import SYMBOLS_2X, SYMBOLS_2X_ZNUM_ORDER
+
+    rng = np.random.RandomState(SEED + 9)
+    species, coords = random_molecules(
+        rng, 4, 12, znums=(1, 6, 7, 8, 16, 9, 17)
+    )
+    ts = torch.tensor(species)
+
+    def golden(name, ref, charges=False):
+        ref.eval()
+        # Round every float tensor through f16 and reload, then store the
+        # f16 arrays: halves the archive (the 8-member stacks dominate) and
+        # stays EXACT — f16 -> f32 is lossless, and the recorded E/F are
+        # recomputed with the rounded weights the test will load.
+        sd_t = {}
+        for k, v in ref.state_dict().items():
+            if v.is_floating_point():
+                v = v.detach().half()
+            sd_t[k] = v
+        ref.load_state_dict(
+            {
+                k: (v.float() if v.is_floating_point() else v)
+                for k, v in sd_t.items()
+            }
+        )
+        sd = {f"sd.{k}": v.numpy() for k, v in sd_t.items()}
+        tc = torch.tensor(coords, requires_grad=True)
+        out = ref((ts, tc))
+        energies = out.energies
+        forces = -torch.autograd.grad(energies.sum(), tc)[0]
+        data = dict(
+            species=species,
+            coords=coords,
+            energies=energies.detach().numpy(),
+            forces=forces.detach().numpy(),
+            **sd,
+        )
+        if charges:
+            data["charges"] = out.atomic_charges.detach().numpy()
+        np.savez_compressed(OUT / f"zoo_goldens_{name}.npz", **data)
+        print(f"wrote zoo_goldens_{name}.npz")
+
+    # ANI-2x: the flagship scheme (reference models.py:165-199, minus the
+    # unavailable weight download)
+    torch.manual_seed(SEED + 11)
+    asm = Assembler(periodic_table_index=True)
+    asm.set_symbols(SYMBOLS_2X)
+    asm.set_global_cutoff_fn("cosine")
+    asm.set_aev_computer(radial="ani2x", angular="ani2x", strategy="pyaev")
+    asm.set_atomic_networks(ctor="ani2x")
+    asm.set_neighborlist("all_pairs")
+    asm.set_gsaes_as_self_energies("wb97x-631gd")
+    golden("ani2x", asm.assemble(8))
+
+    # ANI-2xr: simple_ani + xTB repulsion, znum symbol order
+    # (reference models.py:255-288)
+    torch.manual_seed(SEED + 12)
+    golden(
+        "ani2xr",
+        simple_ani(
+            lot="wb97x-631gd",
+            symbols=SYMBOLS_2X_ZNUM_ORDER,
+            ensemble_size=8,
+            dispersion=False,
+            repulsion=True,
+            strategy="pyaev",
+        ),
+    )
+
+    # ANI-mbis: ANIq + 2-wide discard-first charge networks
+    # (reference models.py:201-252)
+    torch.manual_seed(SEED + 13)
+    asm = Assembler(cls=ANIq, periodic_table_index=True)
+    asm.set_symbols(SYMBOLS_2X)
+    asm.set_global_cutoff_fn("cosine")
+    asm.set_aev_computer(radial="ani2x", angular="ani2x", strategy="pyaev")
+    asm.set_atomic_networks(ctor="ani2x")
+    asm.set_charge_networks(
+        cls=_ANINetworksDiscardFirstScalar,
+        ctor="ani2x",
+        kwargs={"out_dim": 2, "bias": False, "activation": "gelu"},
+        normalizer=ChargeNormalizer.from_electronegativity_and_hardness(
+            asm.symbols, scale_weights_by_charges_squared=True
+        ),
+    )
+    asm.set_neighborlist("all_pairs")
+    asm.set_gsaes_as_self_energies("wb97x-631gd")
+    golden("animbis", asm.assemble(8), charges=True)
+
+
 if __name__ == "__main__":
     make_aev_goldens()
     make_aev_pbc_goldens()
@@ -309,3 +414,4 @@ if __name__ == "__main__":
     make_potential_goldens()
     make_acceptance_goldens()
     make_vib_goldens()
+    make_zoo_goldens()

@@ -363,12 +363,16 @@ def simple_aniq(
     symbols: tp.Sequence[str],
     lot: str = "wb97x-631gd",
     ensemble_size: int = 1,
-    merge_charge_networks: bool = True,
+    merge_charge_networks: bool = False,
     repulsion: bool = True,
+    scale_charge_normalizer_weights: bool = True,
+    normalize: bool = True,
     key: tp.Optional[jax.Array] = None,
     **kwargs,
 ) -> ANIq:
-    """One-call charge-model builder (reference ``simple_aniq`` analog)."""
+    """One-call charge-model builder (reference ``simple_aniq``,
+    ``arch.py:1071-1180``): defaults mirror the reference — separate charge
+    networks, charge-normalizer weights scaled by q^2."""
     from torchani_tpu.electro import ChargeNormalizer
     from torchani_tpu.nn import AtomicNetworks
     from torchani_tpu.potentials.nnp_charges import (
@@ -380,9 +384,14 @@ def simple_aniq(
         symbols, lot, ensemble_size, repulsion=repulsion, key=key, **kwargs
     )
     nnp = base.potentials["nnp"]
-    normalizer = ChargeNormalizer.from_electronegativity_and_hardness(
-        tuple(symbols)
-    )
+    if normalize:
+        normalizer = ChargeNormalizer.from_electronegativity_and_hardness(
+            tuple(symbols),
+            scale_weights_by_charges_squared=scale_charge_normalizer_weights,
+        )
+    else:
+        # uniform weights, no electronegativity prior
+        normalizer = ChargeNormalizer.make(tuple(symbols))
     if key is None:
         key = jax.random.PRNGKey(7)
     if merge_charge_networks:
@@ -474,14 +483,33 @@ class Assembler:
         self._aev_kwargs = dict(radial=radial, angular=angular, **kwargs)
         return self
 
-    def set_atomic_networks(self, ctor: str = "ani2x", **kwargs) -> "Assembler":
-        factory = {
-            "ani1x": AtomicNetworks.like_1x,
-            "ani1ccx": AtomicNetworks.like_1x,
-            "ani2x": AtomicNetworks.like_2x,
-            "anidr": AtomicNetworks.like_dr,
-            "aniala": AtomicNetworks.like_ala,
-        }[ctor]
+    def set_atomic_networks(
+        self, ctor: str = "ani2x", cls: tp.Optional[type] = None, **kwargs
+    ) -> "Assembler":
+        """Pick the network-container factory.
+
+        ``ctor`` names a constructor; with ``cls`` given, the same names
+        resolve to classmethods of that class (reference
+        ``Assembler.set_atomic_networks``, ``arch.py:824-836``) — e.g.
+        ``cls=SingleNN, ctor="large"``.
+        """
+        if cls is not None:
+            name = {
+                "ani1x": "like_1x",
+                "ani1ccx": "like_1x",
+                "ani2x": "like_2x",
+                "anidr": "like_dr",
+                "aniala": "like_ala",
+            }.get(ctor, ctor)
+            factory = getattr(cls, name)
+        else:
+            factory = {
+                "ani1x": AtomicNetworks.like_1x,
+                "ani1ccx": AtomicNetworks.like_1x,
+                "ani2x": AtomicNetworks.like_2x,
+                "anidr": AtomicNetworks.like_dr,
+                "aniala": AtomicNetworks.like_ala,
+            }[ctor]
         self._network_factory = lambda symbols, in_dim, key: factory(
             symbols, in_dim, key=key, **kwargs
         )
@@ -546,7 +574,15 @@ class Assembler:
         for i in range(ensemble_size):
             key, sub = jax.random.split(key)
             members.append(self._network_factory(self.symbols, aev.out_dim, sub))
-        networks = members[0] if ensemble_size == 1 else Ensemble.from_members(members)
+        if ensemble_size == 1:
+            networks = members[0]
+        elif isinstance(members[0], AtomicNetworks):
+            networks = Ensemble.from_members(members)
+        else:
+            # SingleNN/shared containers: stacked-pytree vmap ensemble
+            from torchani_tpu.nn import GenericEnsemble
+
+            networks = GenericEnsemble.from_members(members)
         if self._self_energies is not None:
             shifter = SelfEnergy.make(self.symbols, self._self_energies)
         elif getattr(self, "_lot", None):
@@ -599,6 +635,8 @@ def simple_ani(
     cutoff_fn: str = "smooth",
     repulsion: bool = True,
     dispersion: bool = False,
+    container: str = "ANINetworks",
+    container_ctor: str = "default",
     activation: str = "gelu",
     bias: bool = False,
     neighborlist: NeighborlistArg = "all_pairs",
@@ -607,7 +645,10 @@ def simple_ani(
 ) -> ANI:
     """One-call model builder with the reference's defaults
     (``arch.py:992-1069``): ANI-2x-like AEV with smooth cutoff, gelu/no-bias
-    networks, xTB repulsion enveloped at the radial cutoff.
+    networks, xTB repulsion enveloped at the radial cutoff.  ``container``
+    selects the network family ("ANINetworks", "SingleNN",
+    "ANISharedNetworks") and ``container_ctor`` its constructor (e.g.
+    "large" for the SnnANI2xr head).
     """
     from torchani_tpu.aev.terms import ANIAngular, ANIRadial
 
@@ -632,7 +673,20 @@ def simple_ani(
             cutoff_fn=cutoff_fn,
         ),
     )
-    asm.set_atomic_networks(ctor="ani2x", activation=activation, bias=bias)
+    if container == "ANINetworks":
+        # the reference's "default" ANINetworks ctor is like_2x with the
+        # passed activation/bias (reference nn/_containers.py:535-544)
+        ctor = "ani2x" if container_ctor == "default" else container_ctor
+        asm.set_atomic_networks(ctor=ctor, activation=activation, bias=bias)
+    else:
+        from torchani_tpu.nn import ANISharedNetworks, SingleNN
+
+        cls = {"SingleNN": SingleNN, "ANISharedNetworks": ANISharedNetworks}[
+            container
+        ]
+        asm.set_atomic_networks(
+            ctor=container_ctor, cls=cls, activation=activation, bias=bias
+        )
     asm.set_neighborlist(neighborlist)
     asm.set_gsaes_as_self_energies(lot)
     if repulsion:

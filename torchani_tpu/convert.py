@@ -17,11 +17,64 @@ from torchani_tpu.arch import ANI
 from torchani_tpu.nn import AtomicNetworks, Ensemble
 
 __all__ = [
+    "canonicalize_torch_keys",
     "load_torch_state_dict",
     "numpy_state_dict",
     "load_state_dict",
     "save_state_dict",
 ]
+
+
+def canonicalize_torch_keys(
+    sd: tp.Mapping[str, np.ndarray],
+) -> tp.Dict[str, np.ndarray]:
+    """Apply the reference's backward-compat key remaps to a flat state dict.
+
+    Published checkpoints predate two reference refactors, and the reference
+    rewrites their keys at load time; this reproduces both remaps so any
+    vintage of checkpoint loads here:
+
+    - model level (reference ``arch.py:278-290``): numeric potential slots
+      ``potentials.{0,1,2}.*`` -> ``dispersion_d3 / repulsion_xtb / nnp``,
+      and bare ``aev_computer.* / neural_networks.*`` ->
+      ``potentials.nnp.*``.
+    - network container level (reference ``nn/_containers.py:340-358``):
+      keys missing the ``atomics.`` segment gain it, and
+      ``torch.nn.Sequential``-numbered layers (even indices = Linear)
+      become ``layers.{i}``, with index 6 -> ``final_layer``.
+    """
+    even = [0, 2, 4, 6, 8]
+    out: tp.Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("potentials.0"):
+            k = k.replace("potentials.0", "potentials.dispersion_d3", 1)
+        elif k.startswith("potentials.1"):
+            k = k.replace("potentials.1", "potentials.repulsion_xtb", 1)
+        elif k.startswith("potentials.2"):
+            k = k.replace("potentials.2", "potentials.nnp", 1)
+        elif k.startswith("aev_computer") or k.startswith("neural_networks"):
+            k = "potentials.nnp." + k
+        for nn_name in ("neural_networks.", "charge_networks."):
+            pos = k.find(nn_name)
+            if pos < 0:
+                continue
+            head = k[: pos + len(nn_name)]
+            parts = k[pos + len(nn_name):].split(".")
+            i = 2 if parts[0] == "members" else 0
+            if i < len(parts) and parts[i] != "atomics":
+                parts.insert(i, "atomics")
+            i += 1  # parts[i] is now the element symbol slot
+            j = i + 1
+            if j < len(parts) - 1 and parts[j].isdigit():
+                n = int(parts[j])
+                if n == 6:
+                    parts[j] = "final_layer"
+                else:
+                    parts[j : j + 1] = ["layers", str(even.index(n))]
+            k = head + ".".join(parts)
+            break
+        out[k] = v
+    return out
 
 
 def load_torch_state_dict(path) -> tp.Dict[str, np.ndarray]:
@@ -147,6 +200,16 @@ def save_state_dict(model: ANI) -> tp.Dict[str, np.ndarray]:
             sd.update(_container_arrays(networks.member(e), f"{base}members.{e}."))
     else:
         sd.update(_container_arrays(networks, base))
+    charge_nets = getattr(nnp, "charge_networks", None)
+    if charge_nets is not None and hasattr(charge_nets, "layer_dims"):
+        basec = "potentials.nnp.charge_networks."
+        if isinstance(charge_nets, Ensemble):
+            for e in range(charge_nets.total_members_num):
+                sd.update(
+                    _container_arrays(charge_nets.member(e), f"{basec}members.{e}.")
+                )
+        else:
+            sd.update(_container_arrays(charge_nets, basec))
 
     for name, pot in model.potentials.items():
         if name == "nnp":
@@ -158,8 +221,12 @@ def save_state_dict(model: ANI) -> tp.Dict[str, np.ndarray]:
 
 
 def load_state_dict(model: ANI, sd: tp.Mapping[str, np.ndarray]) -> ANI:
-    """Return a copy of ``model`` with weights taken from a torch state dict."""
-    sd = dict(sd)
+    """Return a copy of ``model`` with weights taken from a torch state dict.
+
+    Accepts any checkpoint vintage: keys are first normalized through
+    `canonicalize_torch_keys` (the reference's bw-compat remaps).
+    """
+    sd = canonicalize_torch_keys(sd)
     symbols = model.symbols
     pots = dict(model.potentials)
     nnp = pots["nnp"]
@@ -200,7 +267,29 @@ def load_state_dict(model: ANI, sd: tp.Mapping[str, np.ndarray]) -> ANI:
     else:
         per_symbol = _network_arrays(sd, base, symbols)
         networks = _fill_container(networks, per_symbol)
-    pots["nnp"] = nnp.replace(aev_computer=aev, neural_networks=networks)
+    nnp_updates: tp.Dict[str, tp.Any] = dict(
+        aev_computer=aev, neural_networks=networks
+    )
+
+    # Charge networks (ANIq models; reference ANImbis loads these under
+    # potentials.nnp.charge_networks.*, models.py:236-252)
+    charge_nets = getattr(nnp, "charge_networks", None)
+    basec = "potentials.nnp.charge_networks."
+    if charge_nets is not None and any(k.startswith(basec) for k in sd):
+        if isinstance(charge_nets, Ensemble):
+            members = []
+            for e in range(charge_nets.total_members_num):
+                per_symbol = _network_arrays(sd, f"{basec}members.{e}.", symbols)
+                members.append(_fill_container(charge_nets.member(e), per_symbol))
+            charge_nets = Ensemble.from_members(members).replace(
+                active_members=charge_nets.active_members
+            )
+        else:
+            charge_nets = _fill_container(
+                charge_nets, _network_arrays(sd, basec, symbols)
+            )
+        nnp_updates["charge_networks"] = charge_nets
+    pots["nnp"] = nnp.replace(**nnp_updates)
 
     # Extra pair potentials (xTB repulsion tables etc.)
     for name, pot in pots.items():

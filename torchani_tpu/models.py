@@ -15,7 +15,6 @@ import jax
 
 from torchani_tpu.arch import ANI, Assembler
 from torchani_tpu.paths import state_dicts_dir
-from torchani_tpu.potentials.repulsion import RepulsionXTB, RepulsionZBL
 from torchani_tpu.utils import SYMBOLS_1X, SYMBOLS_2X
 
 __all__ = [
@@ -115,48 +114,57 @@ def ANI2xr(
     pretrained: bool = True,
     key: tp.Optional[jax.Array] = None,
 ) -> ANI:
-    """ANI-2x-repulsion: ANI-2x architecture + ZBL repulsion, smooth cutoff."""
-    asm = _base_assembler(
-        SYMBOLS_2X, "ani2x", "anidr", "wb97x-631gd", cutoff_fn="smooth"
+    """ANI-2xr: the `simple_ani` architecture (0.9/5.2 smooth AEV, like-2x
+    gelu/no-bias networks, xTB repulsion at the radial cutoff) over the
+    ANI-2x elements in atomic-number order, 8-member ensemble.
+
+    Reference: ``models.py:255-288`` (simple_ani(lot="wb97x-631gd",
+    symbols=SYMBOLS_2X_ZNUM_ORDER, ensemble_size=8, repulsion=True)).
+    """
+    from torchani_tpu.arch import simple_ani
+    from torchani_tpu.utils import SYMBOLS_2X_ZNUM_ORDER
+
+    model = simple_ani(
+        SYMBOLS_2X_ZNUM_ORDER, "wb97x-631gd", ensemble_size=8, key=key
     )
-    asm.add_potential(
-        "repulsion_zbl",
-        RepulsionZBL.make(SYMBOLS_2X, cutoff=5.1, cutoff_fn="smooth"),
-    )
-    model = asm.assemble(8, key=key)
     model = _maybe_load(model, "ani2xr", pretrained)
     if model_index is not None:
         model = _select_member(model, model_index)
     return model
 
 
-def ANIdr(
+def ANI2dr(
     model_index: tp.Optional[int] = None,
     pretrained: bool = True,
     key: tp.Optional[jax.Array] = None,
 ) -> ANI:
-    """ANI-dr: ANI-2x elements + repulsion + D3 dispersion."""
-    from torchani_tpu.potentials.dispersion import TwoBodyDispersionD3
+    """ANI-2dr: `simple_ani` architecture at the B973c level of theory with
+    xTB repulsion AND D3(BJ) dispersion (functional "b973c"), ANI-2x
+    elements in atomic-number order, 8-member ensemble.
 
-    asm = _base_assembler(
-        SYMBOLS_2X, "ani2x", "anidr", "wb97x-631gd", cutoff_fn="smooth"
+    Reference: ``models.py:290-323`` (simple_ani(lot="b973c-def2mtzvp",
+    symbols=SYMBOLS_2X_ZNUM_ORDER, ensemble_size=8, dispersion=True,
+    repulsion=True)).
+    """
+    from torchani_tpu.arch import simple_ani
+    from torchani_tpu.utils import SYMBOLS_2X_ZNUM_ORDER
+
+    model = simple_ani(
+        SYMBOLS_2X_ZNUM_ORDER,
+        "b973c-def2mtzvp",
+        ensemble_size=8,
+        dispersion=True,
+        repulsion=True,
+        key=key,
     )
-    asm.add_potential(
-        "repulsion_xtb",
-        RepulsionXTB.make(SYMBOLS_2X, cutoff=5.1, cutoff_fn="smooth"),
-    )
-    asm.add_potential(
-        "dispersion_d3",
-        TwoBodyDispersionD3.make(SYMBOLS_2X, functional="wb97x"),
-    )
-    model = asm.assemble(8, key=key)
-    model = _maybe_load(model, "anidr", pretrained)
+    model = _maybe_load(model, "ani2dr", pretrained)
     if model_index is not None:
         model = _select_member(model, model_index)
     return model
 
 
-ANI2dr = ANIdr
+#: Alias: this family is also referred to as ANI-dr
+ANIdr = ANI2dr
 
 
 def ANImbis(
@@ -164,22 +172,47 @@ def ANImbis(
     pretrained: bool = True,
     key: tp.Optional[jax.Array] = None,
 ):
-    """ANI-mbis: ANI-2x elements with MBIS atomic charges (ANIq model)."""
-    from torchani_tpu.arch import simple_aniq
+    """ANI-mbis: ANI-2x AEV/energy networks with MBIS atomic charges.
 
-    model = simple_aniq(
+    ANIq model whose charge networks are 2-wide like-2x heads (gelu,
+    no bias) with the FIRST output scalar discarded, normalized with
+    (electronegativity/hardness)^2 weights scaled by q^2.
+
+    Reference: ``models.py:201-252`` (Assembler(cls=ANIq) + ani2x AEV +
+    _ANINetworksDiscardFirstScalar charge networks).
+    """
+    import jax as _jax
+
+    from torchani_tpu.arch import ANIq
+    from torchani_tpu.electro import ChargeNormalizer
+    from torchani_tpu.nn import AtomicNetworksDiscardFirstScalar
+    from torchani_tpu.potentials.nnp_charges import SeparateChargesNNPotential
+
+    asm = _base_assembler(SYMBOLS_2X, "ani2x", "ani2x", "wb97x-631gd")
+    base = asm.assemble(8, key=key)
+    nnp = base.potentials["nnp"]
+    charge_networks = AtomicNetworksDiscardFirstScalar.like_2x(
         SYMBOLS_2X,
-        lot="wb97x-631gd",
-        ensemble_size=8,
-        merge_charge_networks=False,
-        repulsion=False,
-        cutoff_fn="cosine",
-        radial_start=0.8,
-        radial_cutoff=5.1,
-        angular_start=0.8,
-        activation="celu",
-        bias=True,
-        key=key,
+        in_dim=nnp.aev_computer.out_dim,
+        out_dim=2,
+        activation="gelu",
+        bias=False,
+        key=key if key is not None else _jax.random.PRNGKey(7),
+    )
+    normalizer = ChargeNormalizer.from_electronegativity_and_hardness(
+        SYMBOLS_2X, scale_weights_by_charges_squared=True
+    )
+    pots = dict(base.potentials)
+    pots["nnp"] = SeparateChargesNNPotential.make(
+        SYMBOLS_2X, nnp.aev_computer, nnp.neural_networks,
+        charge_networks, normalizer,
+    )
+    model = ANIq(
+        potentials=pots,
+        energy_shifter=base.energy_shifter,
+        symbols=base.symbols,
+        neighborlist=base.neighborlist,
+        periodic_table_index=base.periodic_table_index,
     )
     model = _maybe_load(model, "animbis", pretrained)
     if model_index is not None:
@@ -193,8 +226,15 @@ def ANIr2s(
     pretrained: bool = True,
     key: tp.Optional[jax.Array] = None,
 ) -> ANI:
-    """ANI-r2s solvent models (r2scan-3c level of theory, alt-smooth cutoff)."""
-    from torchani_tpu.cutoffs import AltCutoffSmooth
+    """ANI-r2s solvent models: `simple_ani` with the exact ANI-2x AEV
+    (0.8/5.1), smooth cutoff, and an UN-enveloped xTB repulsion
+    (infinite repulsion cutoff), r2scan-3c level of theory.
+
+    Reference: ``models.py:325-369`` (simple_ani(..., repulsion=True,
+    repulsion_cutoff=False, cutoff_fn="smooth", radial_start=0.8,
+    angular_start=0.8, radial_cutoff=5.1)).
+    """
+    from torchani_tpu.arch import simple_ani
 
     lots = {
         "vacuum": "r2scan3c-def2mtzvpp",
@@ -204,16 +244,18 @@ def ANIr2s(
     }
     if solvent not in lots:
         raise ValueError(f"Unsupported solvent {solvent!r}; options {sorted(lots)}")
-    from torchani_tpu.arch import Assembler
-
-    asm = Assembler(periodic_table_index=True)
-    asm.set_symbols(SYMBOLS_2X)
-    asm.set_global_cutoff_fn(AltCutoffSmooth())
-    asm.set_aev_computer(radial="ani2x", angular="ani2x")
-    asm.set_atomic_networks(ctor="ani2x")
-    functional, basis = lots[solvent].split("-")
-    asm.set_gsaes_as_self_energies(f"{functional}-{basis}")
-    model = asm.assemble(8, key=key)
+    model = simple_ani(
+        SYMBOLS_2X,
+        lots[solvent],
+        ensemble_size=8,
+        repulsion=True,
+        repulsion_cutoff=False,
+        cutoff_fn="smooth",
+        radial_start=0.8,
+        angular_start=0.8,
+        radial_cutoff=5.1,
+        key=key,
+    )
     model = _maybe_load(model, f"anir2s_{solvent}", pretrained)
     if model_index is not None:
         model = _select_member(model, model_index)
@@ -221,40 +263,41 @@ def ANIr2s(
 
 
 def SnnANI2xr(
+    model_index: tp.Optional[int] = None,
     pretrained: bool = True,
     key: tp.Optional[jax.Array] = None,
 ) -> ANI:
-    """SingleNN variant of ANI-2xr (one shared network, per-element head)."""
-    import jax as _jax
+    """SingleNN variant of ANI-2xr: an 8-member ensemble of fully-shared
+    "large" networks (320/256/256/512 + species embedding, per-element
+    output column), 6 angular sections, xTB repulsion.
 
-    from torchani_tpu.aev import AEVComputer
-    from torchani_tpu.nn import SingleNN
-    from torchani_tpu.potentials.nnp import NNPotential
-    from torchani_tpu.sae import SelfEnergy
+    Reference: ``models.py:431-467`` (simple_ani(..., container="SingleNN",
+    container_ctor="large", repulsion=True, sections=6)).
+    """
+    from torchani_tpu.arch import simple_ani
+    from torchani_tpu.utils import SYMBOLS_2X_ZNUM_ORDER
 
-    aev = AEVComputer.like_2x(cutoff_fn="smooth")
-    networks = SingleNN.default(
-        SYMBOLS_2X, aev.out_dim, key=key or _jax.random.PRNGKey(0)
+    model = simple_ani(
+        SYMBOLS_2X_ZNUM_ORDER,
+        "wb97x-631gd",
+        ensemble_size=8,
+        container="SingleNN",
+        container_ctor="large",
+        sections=6,
+        key=key,
     )
-    model = ANI(
-        potentials={
-            "nnp": NNPotential.make(SYMBOLS_2X, aev, networks),
-            "repulsion_zbl": RepulsionZBL.make(
-                SYMBOLS_2X, cutoff=5.1, cutoff_fn="smooth"
-            ),
-        },
-        energy_shifter=SelfEnergy.from_lot(SYMBOLS_2X, "wb97x-631gd"),
-        symbols=SYMBOLS_2X,
-    )
-    return _maybe_load(model, "snnani2xr", pretrained)
+    model = _maybe_load(model, "snnani2xr", pretrained)
+    if model_index is not None:
+        model = _select_member(model, model_index)
+    return model
 
 
 def _select_member(model: ANI, idx: int) -> ANI:
-    from torchani_tpu.nn import Ensemble
+    from torchani_tpu.nn import Ensemble, GenericEnsemble
 
     nnp = model.potentials["nnp"]
     networks = nnp.neural_networks
-    if isinstance(networks, Ensemble):
+    if isinstance(networks, (Ensemble, GenericEnsemble)):
         networks = networks.member(idx)
     pots = dict(model.potentials)
     pots["nnp"] = nnp.replace(neural_networks=networks)

@@ -4,7 +4,9 @@ from torchani_tpu.nn.shared import ANISharedNetworks, SingleNN
 from torchani_tpu.nn.containers import (
     ANINetworks,
     AtomicNetworks,
+    AtomicNetworksDiscardFirstScalar,
     Ensemble,
+    GenericEnsemble,
     SpeciesConverter,
     parse_activation,
 )
@@ -31,6 +33,8 @@ __all__ = [
     "SingleNN",
     "ANINetworks",
     "AtomicNetworks",
+    "AtomicNetworksDiscardFirstScalar",
+    "GenericEnsemble",
     "AtomicContainer",
     "AtomicEmbedding",
     "AtomicNetwork",

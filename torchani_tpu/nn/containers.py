@@ -192,20 +192,28 @@ class AtomicNetworks(struct.PyTreeNode):
                     act, host_elem, x0, species_list
                 ).reshape(c, a, self.out_dim)
         sel = np.asarray(species_list)
+        # With every species present the [sel] gather is an identity — emit
+        # the array itself (a real gather of closed-over constant weights
+        # makes XLA constant-fold a full (S, E, in, out) copy: >2s compile
+        # per train-step, seen in the sharded-training dryrun HLO).
+        if len(species_list) == self.num_species:
+            pick = lambda arr: arr  # noqa: E731
+        else:
+            pick = lambda arr: arr[sel]  # noqa: E731
         # One species-batched matmul chain per layer (batch dim = species)
         # instead of a sequential per-species loop — better MXU scheduling.
         x = jnp.einsum(
-            "nf,sfo->sno", x0, self.weights[0][sel], precision=self._matmul_precision
+            "nf,sfo->sno", x0, pick(self.weights[0]), precision=self._matmul_precision
         )
         if self.biases is not None:
-            x = x + self.biases[0][sel][:, None, :]
+            x = x + pick(self.biases[0])[:, None, :]
         for li in range(1, num_layers):
             x = act(x)
             x = jnp.einsum(
-                "snf,sfo->sno", x, self.weights[li][sel], precision=self._matmul_precision
+                "snf,sfo->sno", x, pick(self.weights[li]), precision=self._matmul_precision
             )
             if self.biases is not None:
-                x = x + self.biases[li][sel][:, None, :]
+                x = x + pick(self.biases[li])[:, None, :]
         # select each atom's own-species column
         out = jnp.zeros((c * a, self.out_dim), dtype=aevs.dtype)
         for i, s in enumerate(species_list):
@@ -405,6 +413,102 @@ class AtomicNetworks(struct.PyTreeNode):
 
 #: Alias kept for naming parity with the reference
 ANINetworks = AtomicNetworks
+
+
+class AtomicNetworksDiscardFirstScalar(AtomicNetworks):
+    """Networks with ``out_dim >= 2`` whose FIRST output scalar is discarded;
+    each atom's value is output column 1.
+
+    Parity with the reference's ``_ANINetworksDiscardFirstScalar``
+    (``nn/_internal.py:69-94``), used by the ANI-mbis charge networks (the
+    published weights have a "bad first scalar" head).
+    """
+
+    def __call__(
+        self,
+        elem_idxs: Array,
+        aevs: Array,
+        atomic: bool = False,
+        ensemble_values: bool = False,
+    ) -> Array:
+        scalars = self.atomic_scalars(elem_idxs, aevs)[..., 1]
+        if atomic:
+            return scalars
+        return jnp.sum(scalars, axis=-1)
+
+
+class GenericEnsemble(struct.PyTreeNode):
+    """Ensemble of arbitrary same-architecture containers (e.g. `SingleNN`).
+
+    Member arrays are stacked on a leading axis and evaluated under
+    ``jax.vmap`` (the member axis rides the MXU batch dimension) — the same
+    execution shape as `Ensemble`, for containers whose parameters aren't
+    the per-element stacked layout.  Reference analog: the generic
+    ``Ensemble`` module list (``nn/_containers.py:573+``).
+    """
+
+    stacked: tp.Any  # one member pytree with a leading (E, ...) axis on leaves
+    active_members: tp.Optional[tp.Tuple[int, ...]] = struct.field(
+        pytree_node=False, default=None
+    )
+
+    @classmethod
+    def from_members(cls, members: tp.Sequence[tp.Any]) -> "GenericEnsemble":
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+        return cls(stacked=stacked)
+
+    @property
+    def symbols(self) -> Symbols:
+        return self.stacked.symbols
+
+    @property
+    def num_species(self) -> int:
+        return len(self.stacked.symbols)
+
+    @property
+    def atomic_numbers(self) -> tp.Tuple[int, ...]:
+        return tuple(ATOMIC_NUMBER[s] for s in self.stacked.symbols)
+
+    @property
+    def total_members_num(self) -> int:
+        return jax.tree.leaves(self.stacked)[0].shape[0]
+
+    @property
+    def active_members_idxs(self) -> tp.Tuple[int, ...]:
+        if self.active_members is None:
+            return tuple(range(self.total_members_num))
+        return self.active_members
+
+    def get_active_members_num(self) -> int:
+        return len(self.active_members_idxs)
+
+    def set_active_members(self, idxs: tp.Sequence[int]) -> "GenericEnsemble":
+        for i in idxs:
+            if not 0 <= i < self.total_members_num:
+                raise IndexError(
+                    f"Idx {i} should be 0 <= idx < {self.total_members_num}"
+                )
+        return self.replace(active_members=tuple(idxs))
+
+    def member(self, idx: int) -> tp.Any:
+        return jax.tree.map(lambda x: x[idx], self.stacked)
+
+    def __call__(
+        self,
+        elem_idxs: Array,
+        aevs: Array,
+        atomic: bool = False,
+        ensemble_values: bool = False,
+    ) -> Array:
+        stacked = self.stacked
+        idxs = self.active_members_idxs
+        if len(idxs) != self.total_members_num:
+            sel = np.asarray(idxs)
+            stacked = jax.tree.map(lambda x: x[sel], stacked)
+        vals = jax.vmap(lambda m: m(elem_idxs, aevs, atomic=atomic))(stacked)
+        if ensemble_values:
+            return vals
+        return jnp.mean(vals, axis=0)
 
 
 class Ensemble(struct.PyTreeNode):
