@@ -122,7 +122,12 @@ def main():
             errs.append(np.asarray(pred - jb["energies"]))
         return float(np.sqrt(np.mean(np.concatenate(errs) ** 2)))
 
+    from torchani_tpu.training import MetricsWriter
+
     best = np.inf
+    # durable scalars channel (the reference writes these to TensorBoard,
+    # reference examples/training.py:126-127)
+    writer = MetricsWriter(Path(args.ckpt_dir) / "metrics.jsonl", csv_mirror=True)
     for epoch in range(args.epochs):
         t0 = time.time()
         losses = []
@@ -137,10 +142,20 @@ def main():
             f"val RMSE {val_rmse:.6f} Ha  lr {lr:.2e}  "
             f"({time.time() - t0:.1f}s)"
         )
+        writer.write(
+            epoch,
+            {
+                "loss": np.mean(losses),
+                "val_rmse": val_rmse,
+                "lr": lr,
+                "epoch_seconds": time.time() - t0,
+            },
+        )
         save_checkpoint(args.ckpt_dir, state, int(state.step))
         if val_rmse < best:
             best = val_rmse
             save_checkpoint(Path(args.ckpt_dir) / "best", state, int(state.step), keep=1)
+    writer.close()
     print(f"best val RMSE: {best:.6f} Ha")
 
 

@@ -16,7 +16,8 @@ from torchani_tpu.transforms import AtomicNumbersToIndices, Compose, SubtractSAE
 
 def _make_dataset(tmp_path=None, backend="memory", n_groups=3, seed=0):
     rng = np.random.RandomState(seed)
-    location = None if backend == "memory" else tmp_path / f"ds.{ 'h5' if backend=='hdf5' else 'pq'}"
+    suffix = {"hdf5": "h5", "parquet": "pq", "zarr": "zarr"}.get(backend, "pq")
+    location = None if backend == "memory" else tmp_path / f"ds.{suffix}"
     ds = ANIDataset(location, backend=backend)
     for gi in range(n_groups):
         n, a = 5 + gi, 4 + gi
@@ -33,7 +34,7 @@ def _make_dataset(tmp_path=None, backend="memory", n_groups=3, seed=0):
     return ds
 
 
-@pytest.mark.parametrize("backend", ["memory", "hdf5", "parquet"])
+@pytest.mark.parametrize("backend", ["memory", "hdf5", "parquet", "zarr"])
 def test_store_roundtrip(tmp_path, backend):
     ds = _make_dataset(tmp_path, backend)
     assert len(ds) == 3
@@ -42,6 +43,53 @@ def test_store_roundtrip(tmp_path, backend):
     assert g["species"].shape == (6, 5)
     assert g["coordinates"].shape == (6, 5, 3)
     assert {"species", "coordinates", "energies", "forces"} <= ds.properties
+
+
+def test_zarr_store_format_details(tmp_path):
+    """The zarr backend writes spec-compliant v2 metadata (readable by the
+    zarr package) and handles nested groups, strings, scalars, deletes and
+    multi-chunk reads."""
+    import json
+    import zlib
+
+    from torchani_tpu.datasets.backends import ZarrStore
+
+    st = ZarrStore(tmp_path / "s.zarr")
+    st.put("a/b", {"x": np.arange(12, dtype=np.float32).reshape(3, 4),
+                   "names": np.asarray(["HCl", "H2O", "NH3"])})
+    st.set_metadata({"grouping": "by_formula"})
+    # spec: root and every group level carry .zgroup; arrays carry .zarray
+    root = tmp_path / "s.zarr"
+    assert json.loads((root / ".zgroup").read_text())["zarr_format"] == 2
+    assert (root / "a" / ".zgroup").exists()
+    meta = json.loads((root / "a" / "b" / "x" / ".zarray").read_text())
+    assert meta["shape"] == [3, 4] and meta["dtype"] == "<f4"
+    assert meta["compressor"]["id"] == "zlib"
+    raw = zlib.decompress((root / "a" / "b" / "x" / "0.0").read_bytes())
+    np.testing.assert_array_equal(
+        np.frombuffer(raw, np.float32).reshape(3, 4),
+        np.arange(12, dtype=np.float32).reshape(3, 4),
+    )
+    assert st.keys() == ["a/b"]
+    got = st.get("a/b")
+    assert got["names"].tolist() == ["HCl", "H2O", "NH3"]
+    assert st.get_metadata() == {"grouping": "by_formula"}
+    # multi-chunk array written externally (2-row chunks over 3 rows)
+    adir = root / "a" / "b" / "y"
+    adir.mkdir()
+    full = np.arange(12, dtype=np.int64).reshape(3, 4)
+    (adir / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [3, 4], "chunks": [2, 4],
+        "dtype": "<i8", "compressor": {"id": "zlib", "level": 1},
+        "fill_value": 0, "order": "C", "filters": None,
+    }))
+    pad = np.zeros((2, 4), np.int64)
+    pad[:1] = full[2:]
+    (adir / "0.0").write_bytes(zlib.compress(full[:2].tobytes()))
+    (adir / "1.0").write_bytes(zlib.compress(pad.tobytes()))
+    np.testing.assert_array_equal(st.get("a/b", ["y"])["y"], full)
+    st.delete("a/b")
+    assert st.keys() == []
 
 
 def test_append_and_delete():

@@ -188,3 +188,69 @@ def test_bucketed_step_matches_full_capacity(tmp_path):
     np.testing.assert_allclose(
         float(m_plain["loss"]), float(m_b["loss"]), rtol=1e-6
     )
+
+
+def test_data_parallel_step_matches_single_device():
+    """One optimization step on an 8-device (4 data x 2 model) mesh must
+    reproduce the single-device step: same loss, same updated parameters
+    (up to f32 cross-device reduction order).  This is the numerical
+    guarantee behind the sharded training path (parallel/sharding.py) —
+    GSPMD may not change the math."""
+    from torchani_tpu.parallel import make_mesh, shard_batch, shard_ensemble
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest)")
+
+    model = tt.simple_ani(("H", "O"), ensemble_size=2, key=jax.random.PRNGKey(5))
+    species, coords = make_molecs(8, 6, seed=2, znums=(1, 8))
+    rng = np.random.RandomState(3)
+    batch = {
+        "species": jnp.asarray(species),
+        "coordinates": jnp.asarray(coords),
+        "energies": jnp.asarray(rng.randn(8).astype(np.float32) * 0.01),
+        "forces": jnp.asarray(rng.randn(8, 6, 3).astype(np.float32) * 0.01),
+    }
+    optimizer = optax.adamw(1e-3)
+    init_fn, step_fn = make_train_step(model, optimizer, force_training=True)
+
+    state1 = init_fn()
+    state1 = state1.replace(opt_state=optimizer.init(state1.networks))
+    new1, metrics1 = jax.jit(step_fn)(state1, batch)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    with mesh:
+        state8 = init_fn()
+        state8 = state8.replace(networks=shard_ensemble(state8.networks, mesh))
+        state8 = state8.replace(opt_state=optimizer.init(state8.networks))
+        new8, metrics8 = jax.jit(step_fn)(state8, shard_batch(batch, mesh))
+        jax.block_until_ready(metrics8["loss"])
+
+    assert float(metrics1["loss"]) == pytest.approx(
+        float(metrics8["loss"]), rel=1e-6
+    )
+    flat1 = jax.tree.leaves(new1.networks)
+    flat8 = jax.tree.leaves(new8.networks)
+    assert len(flat1) == len(flat8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-7
+        )
+
+
+def test_metrics_writer_roundtrip(tmp_path):
+    from torchani_tpu.training import MetricsWriter, read_metrics
+
+    path = tmp_path / "run" / "metrics.jsonl"
+    with MetricsWriter(path, csv_mirror=True) as w:
+        w.write(0, {"loss": jnp.asarray(1.5), "lr": 1e-3})
+        w.write(1, {"loss": 1.25, "lr": 1e-3, "val_rmse": 0.2})
+    cols = read_metrics(path)
+    assert cols["step"] == [0.0, 1.0]
+    assert cols["loss"] == [1.5, 1.25]
+    assert np.isnan(cols["val_rmse"][0]) and cols["val_rmse"][1] == 0.2
+    csv_text = (tmp_path / "run" / "metrics.csv").read_text()
+    assert csv_text.startswith("step,time,loss,lr")
+    # appending to an existing file keeps prior records
+    with MetricsWriter(path) as w:
+        w.write(2, {"loss": 1.0})
+    assert len(read_metrics(path)["step"]) == 3

@@ -52,20 +52,48 @@ class Calculator(_BASE):
         if stress_kind not in ("scaling", "fdotr", "numerical"):
             raise ValueError(f"Unsupported stress kind: {stress_kind}")
         self.stress_kind = stress_kind
-        self._jit_ef = jax.jit(self._energy_and_forces)
-        self._jit_stress = jax.jit(self._stress)
+        # Jitted runners cached per (kind, cell, pbc): the cell must be a
+        # trace-time CONSTANT — the neighborlist derives its PBC repeat
+        # count and static capacities from it on the host (a traced cell
+        # cannot size static shapes).  Keyed by value, so a moving-cell
+        # workflow (NPT relaxations) recompiles only on actual cell change.
+        self._runners: tp.Dict[tp.Any, tp.Any] = {}
 
-    def _energy_and_forces(self, species, coords, cell, pbc):
-        from torchani_tpu.grad import energies_and_forces
+    def _runner(self, kind: str, cell, pbc):
+        import jax
+        import jax.numpy as jnp
 
-        return energies_and_forces(self.model, species, coords, cell, pbc)
+        key = (
+            kind,
+            None if cell is None else np.asarray(cell).tobytes(),
+            None if pbc is None else np.asarray(pbc).tobytes(),
+        )
+        fn = self._runners.get(key)
+        if fn is None:
+            cell_j = None if cell is None else jnp.asarray(cell)
+            pbc_j = None if pbc is None else jnp.asarray(pbc)
+            if kind == "ef":
+                from torchani_tpu.grad import energies_and_forces
 
-    def _stress(self, species, coords, cell, pbc):
-        from torchani_tpu.grad import stress_scaling, stress_fdotr
+                fn = jax.jit(
+                    lambda s, c: energies_and_forces(
+                        self.model, s, c, cell_j, pbc_j
+                    )
+                )
+            elif self.stress_kind == "scaling":
+                from torchani_tpu.grad import stress_scaling
 
-        if self.stress_kind == "scaling":
-            return stress_scaling(self.model, species, coords, cell, pbc)
-        return stress_fdotr(self.model, species, coords, cell, pbc)
+                fn = jax.jit(
+                    lambda s, c: stress_scaling(self.model, s, c, cell_j, pbc_j)
+                )
+            else:
+                from torchani_tpu.grad import stress_fdotr
+
+                fn = jax.jit(
+                    lambda s, c: stress_fdotr(self.model, s, c, cell_j, pbc_j)
+                )
+            self._runners[key] = fn
+        return fn
 
     def calculate(self, atoms=None, properties=("energy",), system_changes=None):
         import jax.numpy as jnp
@@ -81,13 +109,13 @@ class Calculator(_BASE):
             np.asarray(atoms.positions, dtype=np.float32)[None]
         )
         if atoms.pbc.any():
-            cell = jnp.asarray(np.asarray(atoms.cell, dtype=np.float32))
-            pbc = jnp.asarray(np.asarray(atoms.pbc))
+            cell = np.asarray(atoms.cell, dtype=np.float32)
+            pbc = np.asarray(atoms.pbc)
         else:
             cell = None
             pbc = None
 
-        energies, forces = self._jit_ef(species, coords, cell, pbc)
+        energies, forces = self._runner("ef", cell, pbc)(species, coords)
         energy = float(np.asarray(energies)[0]) * HARTREE_TO_EV
         self.results["energy"] = energy
         self.results["free_energy"] = energy
@@ -101,6 +129,8 @@ class Calculator(_BASE):
             if self.stress_kind == "numerical":
                 stress = self.calculate_numerical_stress(atoms)
             else:
-                s = np.asarray(self._jit_stress(species, coords, cell, pbc))
+                s = np.asarray(
+                    self._runner("stress", cell, pbc)(species, coords)
+                )
                 stress = full_3x3_to_voigt_6_stress(s * HARTREE_TO_EV)
             self.results["stress"] = stress

@@ -237,19 +237,174 @@ class ParquetStore(Store):
 
 
 class ZarrStore(Store):
-    """Zarr-backed store (requires the optional ``zarr`` package)."""
+    """Zarr-v2 directory store, implemented dependency-free.
+
+    Reads and writes the standard zarr v2 on-disk format directly (JSON
+    ``.zgroup``/``.zarray``/``.zattrs`` metadata + zlib-compressed chunk
+    files), so stores are interoperable with the ``zarr`` package — which
+    is not installed in this environment — and with the reference's zarr
+    backend (``/root/reference/torchani/datasets/backends/zarr_impl.py``).
+    Arrays are written as a single chunk; reading follows the metadata's
+    chunk grid, so multi-chunk files written by other tools load too.
+    """
+
+    _GROUP_META = '{"zarr_format": 2}'
 
     def __init__(self, path, mode: str = "a") -> None:
-        try:
-            import zarr  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "The 'zarr' package is not installed in this environment; "
-                "use the HDF5 or Parquet backends instead"
-            ) from e
-        raise NotImplementedError(
-            "Zarr backend scaffolding present but zarr is unavailable here"
+        self.dir = Path(path)
+        if mode == "r" and not self.dir.exists():
+            raise FileNotFoundError(self.dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        zgroup = self.dir / ".zgroup"
+        if not zgroup.exists():
+            zgroup.write_text(self._GROUP_META)
+
+    # -- format helpers --
+    @staticmethod
+    def _compress(raw: bytes) -> bytes:
+        import zlib
+
+        return zlib.compress(raw, 1)
+
+    @staticmethod
+    def _decode_chunk(data: bytes, compressor: tp.Optional[dict]) -> bytes:
+        if compressor is None:
+            return data
+        cid = compressor.get("id")
+        if cid == "zlib":
+            import zlib
+
+            return zlib.decompress(data)
+        if cid == "gzip":
+            import gzip
+
+            return gzip.decompress(data)
+        if cid == "blosc":
+            raise ValueError(
+                "blosc-compressed zarr chunks need the 'zarr'/'numcodecs' "
+                "packages, which are unavailable here; re-encode with zlib"
+            )
+        raise ValueError(f"Unsupported zarr compressor {compressor!r}")
+
+    def _write_array(self, adir: Path, v: np.ndarray) -> None:
+        adir.mkdir(parents=True, exist_ok=True)
+        meta = {
+            "zarr_format": 2,
+            "shape": list(v.shape),
+            "chunks": list(v.shape) if v.ndim else [1],
+            "dtype": v.dtype.str,
+            "compressor": {"id": "zlib", "level": 1},
+            "fill_value": None,
+            "order": "C",
+            "filters": None,
+        }
+        (adir / ".zarray").write_text(json.dumps(meta))
+        chunk_name = ".".join(["0"] * max(v.ndim, 1))
+        (adir / chunk_name).write_bytes(
+            self._compress(np.ascontiguousarray(v).tobytes())
         )
+
+    def _read_array(self, adir: Path) -> np.ndarray:
+        meta = json.loads((adir / ".zarray").read_text())
+        dtype = np.dtype(meta["dtype"])
+        shape = tuple(meta["shape"])
+        chunks = tuple(meta["chunks"]) if shape else (1,)
+        if meta.get("order", "C") != "C" or meta.get("filters"):
+            raise ValueError("Only order='C', unfiltered zarr arrays supported")
+        sep = meta.get("dimension_separator", ".")
+        grid = [
+            -(-s // c) for s, c in zip(shape, chunks)
+        ] or [1]
+        out = np.zeros(shape if shape else (), dtype)
+        fill = meta.get("fill_value")
+        if fill is not None and dtype.kind not in "SU":
+            out[...] = fill
+        for idx in np.ndindex(*grid):
+            name = sep.join(str(i) for i in (idx or (0,)))
+            cpath = adir / name
+            if not cpath.exists():
+                continue  # chunk at fill value
+            raw = self._decode_chunk(cpath.read_bytes(), meta["compressor"])
+            chunk = np.frombuffer(raw, dtype).reshape(chunks)
+            if not shape:
+                return chunk.reshape(())[()] * np.ones((), dtype)
+            sl = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, chunks, shape)
+            )
+            trim = tuple(slice(0, s.stop - s.start) for s in sl)
+            out[sl] = chunk[trim]
+        return out
+
+    def _group_dir(self, name: str) -> Path:
+        parts = [p for p in name.split("/") if p]
+        if not parts or any(p.startswith(".") for p in parts):
+            raise ValueError(f"Invalid group name {name!r}")
+        return self.dir.joinpath(*parts)
+
+    # -- Store interface --
+    def keys(self) -> tp.List[str]:
+        names = set()
+        for zarray in self.dir.rglob(".zarray"):
+            group = zarray.parent.parent
+            if group == self.dir:
+                continue
+            names.add(group.relative_to(self.dir).as_posix())
+        return sorted(names)
+
+    def get(self, name, properties=None) -> Conformers:
+        gdir = self._group_dir(name)
+        if properties is None:
+            properties = sorted(
+                p.name for p in gdir.iterdir()
+                if p.is_dir() and (p / ".zarray").exists()
+            )
+        out = {}
+        for k in properties:
+            arr = self._read_array(gdir / k)
+            if arr.dtype.kind in ("S", "O"):
+                arr = arr.astype(str)
+            out[k] = arr
+        return out
+
+    def put(self, name, conformers) -> None:
+        gdir = self._group_dir(name)
+        if gdir.exists():
+            import shutil
+
+            shutil.rmtree(gdir)
+        # mark every level as a zarr group
+        level = self.dir
+        for part in gdir.relative_to(self.dir).parts:
+            level = level / part
+            level.mkdir(exist_ok=True)
+            zg = level / ".zgroup"
+            if not zg.exists():
+                zg.write_text(self._GROUP_META)
+        for k, v in conformers.items():
+            v = np.asarray(v)
+            if v.dtype.kind == "U":
+                v = v.astype("S")
+            self._write_array(gdir / k, v)
+
+    def delete(self, name) -> None:
+        import shutil
+
+        gdir = self._group_dir(name)
+        if not gdir.exists():
+            raise KeyError(name)
+        shutil.rmtree(gdir)
+
+    def get_metadata(self):
+        zattrs = self.dir / ".zattrs"
+        if zattrs.exists():
+            return {k: str(v) for k, v in json.loads(zattrs.read_text()).items()}
+        return {}
+
+    def set_metadata(self, meta):
+        data = self.get_metadata()
+        data.update(meta)
+        (self.dir / ".zattrs").write_text(json.dumps(data))
 
 
 def create_store(location, backend: tp.Optional[str] = None, mode: str = "a") -> Store:
@@ -264,6 +419,7 @@ def create_store(location, backend: tp.Optional[str] = None, mode: str = "a") ->
                 ".hdf5": "hdf5",
                 ".pq": "parquet",
                 ".parquet": "parquet",
+                ".zarr": "zarr",
             }.get(suffix, "hdf5" if suffix else "parquet")
     if backend == "memory":
         return InMemoryStore()

@@ -5,6 +5,7 @@ from torchani_tpu.training.checkpoints import (
     merge_members,
     save_checkpoint,
 )
+from torchani_tpu.training.metrics import MetricsWriter, read_metrics
 from torchani_tpu.training.schedules import ReduceLROnPlateau, adamw_with_plateau
 from torchani_tpu.training.loop import (
     TrainState,
@@ -15,6 +16,8 @@ from torchani_tpu.training.loop import (
 )
 
 __all__ = [
+    "MetricsWriter",
+    "read_metrics",
     "TrainState",
     "energy_force_loss",
     "make_train_step",
