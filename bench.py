@@ -15,7 +15,9 @@ vs_baseline > 1 means faster than that estimate.  Extras include the raw
 """
 
 import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -101,6 +103,38 @@ def main() -> None:
     md_dt = (time.perf_counter() - t0) / md_iters
     md_ns_per_day = (86400.0 / md_dt) * 1e-6  # 1 fs timestep
 
+    # Cached single-point rate: repeated same-topology E+F (optimizers, ASE
+    # loops) through the Verlet-cache machinery instead of the from-scratch
+    # build that raw_ef pays.  Perturbations are generated device-side (a
+    # host-side (A,3) upload per call would cost ~10 ms on the tunnel).
+    from torchani_tpu.md import CachedSinglePoint
+
+    sp = CachedSinglePoint(
+        model, species_np, cell=cell_np, pbc=True, nn_precision="high"
+    )
+    coords0 = jnp.asarray(coords_np[0])
+    perturb = jax.jit(lambda c, i: c + i * 2e-4)
+    e0, _ = sp(coords0)
+    e1, _ = sp(perturb(coords0, 1.0))  # compile the cached runner
+    _ = float(e1)
+    sp_iters = 20
+    t0 = time.perf_counter()
+    e = e1
+    for i in range(sp_iters):
+        e, _f = sp(perturb(coords0, float(i + 2)))
+    _ = float(e)
+    cached_sp_ms = (time.perf_counter() - t0) / sp_iters * 1e3
+
+    # On-device golden parity (no pytest runs on the real chip; this is the
+    # per-round numerical check, tools/tpu_smoke.py)
+    try:
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+        import tpu_smoke
+
+        parity = tpu_smoke.run()
+    except Exception as exc:  # record, don't kill the bench line
+        parity = {"tpu_parity": f"ERROR: {exc}"}
+
     print(
         json.dumps(
             {
@@ -112,7 +146,10 @@ def main() -> None:
                     "atoms": int(num_atoms),
                     "md_ms_per_step": round(md_dt * 1e3, 3),
                     "raw_ef_ms_per_step": round(dt * 1e3, 3),
+                    "cached_sp_ms": round(cached_sp_ms, 3),
                     "raw_ef_us_per_atom": round(us_per_atom, 4),
+                    "tpu_parity": parity.get("tpu_parity"),
+                    "tpu_parity_detail": parity.get("strategies"),
                     "rebuilds_in_window": int(state.rebuilds),
                     "neighbor_overflow": bool(state.overflow),
                     "energy_finite": bool(jnp.isfinite(state.energy)),

@@ -242,3 +242,35 @@ class TestUnionStore:
         shutil.copy(tmp_path / "a.h5", tmp_path / "sub" / "a.h5")
         u2 = ANIDataset([tmp_path / "a.h5", tmp_path / "sub" / "a.h5"])
         assert sorted(u2.keys()) == ["a/water", "a2/water"]
+
+
+@pytest.mark.parametrize("backend", ["hdf5", "parquet", "zarr"])
+def test_checksum_manifest(tmp_path, backend):
+    """record -> verify ok; corrupt a byte -> mismatch flagged; re-record
+    after mutation heals it (reference analog: builtin md5 checks)."""
+    ds = _make_dataset(tmp_path, backend)
+    sums = ds.record_checksums()
+    assert sums and all(len(v) == 32 for v in sums.values())
+    assert ds.verify_checksums()["ok"]
+    # corrupt one backing file in place
+    victim = ds.store.files()[0]
+    raw = bytearray(victim.read_bytes())
+    raw[len(raw) // 2] ^= 0xFF
+    victim.write_bytes(bytes(raw))
+    report = ds.verify_checksums()
+    assert not report["ok"] and report["mismatched"]
+    # a legitimate mutation then re-record
+    ds.record_checksums()
+    assert ds.verify_checksums()["ok"]
+
+
+def test_cli_data_verify(tmp_path, capsys):
+    from torchani_tpu.cli import main as cli_main
+
+    ds = _make_dataset(tmp_path, "hdf5")
+    loc = str(tmp_path / "ds.h5")
+    cli_main(["data", "verify", loc, "--record"])
+    cli_main(["data", "verify", loc])
+    assert "integrity ok" in capsys.readouterr().out
+    with pytest.raises(SystemExit):
+        cli_main(["data", "verify", str(tmp_path / "nope.h5")])

@@ -270,3 +270,39 @@ def test_npt_rebaseline_preserves_physics(model):
     )
     assert np.isfinite(float(st2.energy))
     assert not bool(st2.overflow)
+
+
+def test_cached_single_point_matches_one_shot():
+    """CachedSinglePoint must reproduce the one-shot single_point E/F across
+    repeated geometries of the same system — including one displaced far
+    enough to force an in-jit neighbor rebuild."""
+    import torchani_tpu as tt
+    from torchani_tpu.grad import energies_and_forces
+    from torchani_tpu.testing import make_water_box
+
+    model = tt.simple_ani(("H", "O"), ensemble_size=1)
+    species, coords, cell = make_water_box(48)
+    cell_j = jnp.asarray(cell)
+    pbc = jnp.asarray([True] * 3)
+    sp = tt.CachedSinglePoint(model, species, cell=cell, pbc=True, skin=0.6)
+
+    rng = np.random.RandomState(0)
+    geoms = [
+        coords[0],
+        coords[0] + rng.randn(*coords[0].shape).astype(np.float32) * 0.02,
+        coords[0] + rng.randn(*coords[0].shape).astype(np.float32) * 0.5,  # > skin/2
+    ]
+    for i, g in enumerate(geoms):
+        e, f = sp(jnp.asarray(g))
+        e_ref, f_ref = jax.jit(
+            lambda c: energies_and_forces(
+                model, jnp.asarray(species), c[None], cell_j, pbc
+            )
+        )(jnp.asarray(g))
+        de = abs(float(e) - float(e_ref[0]))
+        assert de < 5e-5 * abs(float(e_ref[0])) + 5e-5, (i, de)
+        fscale = float(jnp.max(jnp.abs(f_ref))) + 1e-9
+        ferr = float(jnp.max(jnp.abs(f - f_ref[0]))) / fscale
+        assert ferr < 5e-4, (i, ferr)
+    assert not sp.overflow
+    assert int(sp._state.rebuilds) >= 1  # the big displacement rebuilt

@@ -32,6 +32,7 @@ from torchani_tpu import (
 from torchani_tpu.aev import AEVComputer
 from torchani_tpu.arch import ANI, ANIq, Assembler, simple_ani, simple_aniq
 from torchani_tpu.grad import single_point
+from torchani_tpu.md import CachedSinglePoint
 from torchani_tpu.nn import ANINetworks, AtomicNetworks, Ensemble, SpeciesConverter
 from torchani_tpu.sae import EnergyShifter, SelfEnergy
 
@@ -49,6 +50,7 @@ __all__ = [
     "ANINetworks",
     "Assembler",
     "AtomicNetworks",
+    "CachedSinglePoint",
     "Ensemble",
     "SelfEnergy",
     "EnergyShifter",

@@ -227,6 +227,33 @@ def cmd_data_clean(args) -> None:
             ds.delete_conformers(name, np.nonzero(bad)[0])
             print(f"{name}: removed {int(bad.sum())}/{n}")
     print(f"removed {total} non-finite conformers")
+    # a recorded integrity manifest is stale after any mutation: refresh it
+    if total and ds.verify_checksums()["recorded"]:
+        ds.record_checksums()
+        print("refreshed md5 manifest")
+
+
+def cmd_data_verify(args) -> None:
+    """Record or verify the md5 integrity manifest of a local dataset
+    (reference analog: builtin-dataset md5 checks, datasets/_utils.py)."""
+    from torchani_tpu.datasets import ANIDataset
+
+    ds = ANIDataset(args.location)
+    if args.record:
+        sums = ds.record_checksums()
+        print(f"recorded md5 manifest for {len(sums)} file(s)")
+        return
+    report = ds.verify_checksums()
+    if not report["recorded"]:
+        raise SystemExit(
+            "error: no md5 manifest recorded; run with --record first"
+        )
+    for kind in ("missing", "mismatched", "untracked"):
+        for f in report[kind]:
+            print(f"{kind}: {f}")
+    if not report["ok"]:
+        raise SystemExit("error: integrity check FAILED")
+    print("integrity ok")
 
 
 def cmd_data_pack(args) -> None:
@@ -416,6 +443,12 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p = dsub.add_parser("clean", help="remove conformers with non-finite values")
     p.add_argument("location")
     p.set_defaults(fn=cmd_data_clean)
+    p = dsub.add_parser("verify", help="record/verify an md5 integrity manifest")
+    p.add_argument("location")
+    p.add_argument(
+        "--record", action="store_true", help="(re)write the manifest"
+    )
+    p.set_defaults(fn=cmd_data_verify)
     p = dsub.add_parser("pack", help="create a batched dataset")
     p.add_argument("location")
     p.add_argument("dest")

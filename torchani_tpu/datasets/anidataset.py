@@ -148,6 +148,18 @@ class ANIDataset:
             self._store.put(name, {k: v[keep] for k, v in group.items()})
         return self
 
+    def record_checksums(self) -> tp.Dict[str, str]:
+        """Write an md5 manifest for the backing files (``<root>.md5.json``).
+
+        Local-integrity analog of the reference's builtin-dataset md5 checks
+        (``/root/reference/torchani/datasets/_utils.py:55-184``).
+        """
+        return self._store.record_checksums()
+
+    def verify_checksums(self) -> tp.Dict[str, tp.Any]:
+        """Compare backing files against the recorded md5 manifest."""
+        return self._store.verify_checksums()
+
     def rename_property(self, old: str, new: str) -> "ANIDataset":
         for k in self.keys():
             g = self._store.get(k)

@@ -68,6 +68,80 @@ class Store:
     def set_metadata(self, meta: tp.Dict[str, str]) -> None:
         raise NotImplementedError
 
+    # -- integrity (reference analog: the md5 manifest checked for every
+    # builtin dataset file, /root/reference/torchani/datasets/_utils.py:55-184;
+    # here generalized to ANY local store via a sidecar manifest) --
+    @property
+    def root(self) -> tp.Optional[Path]:
+        """Filesystem root of this store (file or directory); None if not
+        disk-backed."""
+        return None
+
+    def files(self) -> tp.List[Path]:
+        """On-disk files backing this store, for integrity checksums."""
+        return []
+
+    def _checksum_sidecar(self) -> tp.Optional[Path]:
+        # The manifest must live OUTSIDE the data it checksums (a checksum
+        # stored inside an HDF5 attr would invalidate itself on write).
+        root = self.root
+        if root is None:
+            return None
+        return root.with_name(root.name + ".md5.json")
+
+    def _file_md5s(self) -> tp.Dict[str, str]:
+        import hashlib
+
+        root = tp.cast(Path, self.root)
+        out = {}
+        for p in sorted(self.files()):
+            h = hashlib.md5()
+            with open(p, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+            out[p.relative_to(root.parent).as_posix()] = h.hexdigest()
+        return out
+
+    def record_checksums(self) -> tp.Dict[str, str]:
+        """Write an md5 manifest sidecar (``<root>.md5.json``) for the
+        store's current files; returns the manifest."""
+        side = self._checksum_sidecar()
+        if side is None:
+            raise ValueError("store is not disk-backed; nothing to checksum")
+        sums = self._file_md5s()
+        side.write_text(json.dumps(sums, sort_keys=True, indent=1))
+        return sums
+
+    def verify_checksums(self) -> tp.Dict[str, tp.Any]:
+        """Compare current file md5s against the recorded manifest.
+
+        Returns ``{"ok", "recorded", "missing", "mismatched", "untracked"}``
+        — ``ok`` is True when a manifest exists and everything matches.
+        """
+        side = self._checksum_sidecar()
+        if side is None or not side.exists():
+            return {
+                "ok": False,
+                "recorded": False,
+                "missing": [],
+                "mismatched": [],
+                "untracked": [],
+            }
+        want = json.loads(side.read_text())
+        have = self._file_md5s()
+        missing = sorted(set(want) - set(have))
+        untracked = sorted(set(have) - set(want))
+        mismatched = sorted(
+            k for k in set(want) & set(have) if want[k] != have[k]
+        )
+        return {
+            "ok": not (missing or mismatched or untracked),
+            "recorded": True,
+            "missing": missing,
+            "mismatched": mismatched,
+            "untracked": untracked,
+        }
+
     def __contains__(self, name: str) -> bool:
         return name in self.keys()
 
@@ -122,6 +196,13 @@ class HDF5Store(Store):
 
     def _open(self, mode: tp.Optional[str] = None):
         return self._h5py.File(self.path, mode or self._mode)
+
+    @property
+    def root(self) -> Path:
+        return self.path
+
+    def files(self) -> tp.List[Path]:
+        return [self.path] if self.path.exists() else []
 
     def keys(self) -> tp.List[str]:
         names: tp.List[str] = []
@@ -182,6 +263,13 @@ class ParquetStore(Store):
         self.dir = Path(path)
         self.dir.mkdir(parents=True, exist_ok=True)
         self._meta_path = self.dir / "_metadata.json"
+
+    @property
+    def root(self) -> Path:
+        return self.dir
+
+    def files(self) -> tp.List[Path]:
+        return sorted(p for p in self.dir.rglob("*") if p.is_file())
 
     def _sidecar(self, name: str) -> Path:
         return self.dir / f"{name.replace('/', '__')}.shapes.json"
@@ -258,6 +346,13 @@ class ZarrStore(Store):
         zgroup = self.dir / ".zgroup"
         if not zgroup.exists():
             zgroup.write_text(self._GROUP_META)
+
+    @property
+    def root(self) -> Path:
+        return self.dir
+
+    def files(self) -> tp.List[Path]:
+        return sorted(p for p in self.dir.rglob("*") if p.is_file())
 
     # -- format helpers --
     @staticmethod
@@ -497,6 +592,28 @@ class UnionStore(Store):
                 s.set_metadata(meta)
             except NotImplementedError:
                 pass
+
+    def record_checksums(self) -> tp.Dict[str, str]:
+        out: tp.Dict[str, str] = {}
+        for s in self.stores.values():
+            if s.root is not None:
+                out.update(s.record_checksums())
+        return out
+
+    def verify_checksums(self) -> tp.Dict[str, tp.Any]:
+        reports = [
+            s.verify_checksums() for s in self.stores.values()
+            if s.root is not None
+        ]
+        if not reports:
+            return Store.verify_checksums(self)
+        merged: tp.Dict[str, tp.Any] = {
+            "ok": all(r["ok"] for r in reports),
+            "recorded": all(r["recorded"] for r in reports),
+        }
+        for k in ("missing", "mismatched", "untracked"):
+            merged[k] = sorted(sum((r[k] for r in reports), []))
+        return merged
 
     def __contains__(self, name: str) -> bool:
         store, key = self._split(name)

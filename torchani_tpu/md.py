@@ -37,6 +37,7 @@ from torchani_tpu.neighbors import Neighbors, cell_list, _static_grid_shape
 from torchani_tpu.utils import get_atomic_masses
 
 __all__ = [
+    "CachedSinglePoint",
     "MDState",
     "MolecularDynamics",
     "maxwell_boltzmann_velocities",
@@ -1176,3 +1177,74 @@ class MolecularDynamics:
 
             cache[key] = chunk
         return cache[key](state)
+
+
+class CachedSinglePoint:
+    """Repeated same-system energy+force evaluation at MD-step cost.
+
+    One-shot `torchani_tpu.single_point` rebuilds the neighbor list from
+    scratch every call (~80 ms at 10k atoms); workflows that evaluate many
+    nearby geometries of ONE system — geometry optimization, ASE-style
+    dynamics loops, active-learning rescoring — should instead reuse the MD
+    driver's Verlet cache: each call recomputes only the differentiable
+    refresh + model (the ~14 ms MD-step path), and the cached topology is
+    rebuilt inside the jitted call only when the displacement criterion
+    demands it (reference VerletCellList intent,
+    ``/root/reference/torchani/neighbors.py:759-884``).
+
+    >>> sp = CachedSinglePoint(model, species, cell=cell, pbc=True)
+    >>> e0, f0 = sp(coords0)
+    >>> e1, f1 = sp(coords1)   # same topology: no neighbor rebuild
+
+    ``overflow`` reports whether ANY call's rebuild overflowed a static
+    capacity (results are then unreliable, like the MD flag).
+    """
+
+    def __init__(
+        self,
+        model,
+        species: Array,  # (1, A) atomic numbers
+        cell: tp.Optional[Array] = None,
+        pbc: bool = False,
+        skin: float = 0.75,
+        nn_precision: str = "highest",
+        **md_kwargs,
+    ) -> None:
+        # strict f32 NN parity by default: single-point users compare
+        # against reference energies, unlike MD where thermal noise
+        # dominates the "high"-precision error
+        self._md = MolecularDynamics(
+            model, species, cell=cell, pbc=pbc, skin=skin,
+            nn_precision=nn_precision, **md_kwargs,
+        )
+        self._state: tp.Optional[MDState] = None
+        self._runner = None
+
+    @property
+    def overflow(self) -> bool:
+        if self._state is None:
+            return False
+        return bool(jax.device_get(self._state.overflow))
+
+    def reset(self) -> None:
+        """Drop the cached topology (e.g. after changing the system)."""
+        self._state = None
+
+    def __call__(self, coords: Array) -> tp.Tuple[Array, Array]:
+        """Energy (scalar) and forces (A, 3) at ``coords`` (user order)."""
+        coords = jnp.asarray(coords)
+        if coords.ndim == 3:
+            coords = coords[0]
+        if self._state is None:
+            self._state = self._md.init(coords)
+            return self._state.energy, self._state.forces
+        if self._runner is None:
+
+            def run(state: MDState, crd: Array):
+                state = self._md._maybe_rebuild(state, crd)
+                e, f = self._md._energy_and_forces(state, crd)
+                return state.replace(coords=crd, energy=e, forces=f), e, f
+
+            self._runner = jax.jit(run)
+        self._state, e, f = self._runner(self._state, coords)
+        return e, f
