@@ -177,3 +177,73 @@ def test_species_specialization_under_jit(goldens):
     np.testing.assert_allclose(
         np.asarray(g_spec), np.asarray(g_traced), atol=1e-5, rtol=1e-5
     )
+
+
+def test_angular_block_remat_policy_grads_match():
+    """The blocked angular path (remat with the "ang_save" save-names
+    policy) must produce the same AEVs and gradients as the single-block
+    path — with few species so the tagged packed row path is exercised."""
+    import torchani_tpu as tt
+    from torchani_tpu.neighbors import all_pairs, narrow_to_cutoff
+
+    from torchani_tpu.testing import make_water_box
+
+    species_np, coords_np, _cell = make_water_box(63)
+    species = jnp.asarray(species_np)
+    coords = jnp.asarray(coords_np)
+    model = tt.simple_ani(("H", "O"), ensemble_size=1)
+    conv = model.species_converter
+    elem = conv(species)
+    aevc = model.aev_computer
+
+    def aev_sum(c, computer):
+        nb = narrow_to_cutoff(
+            all_pairs(computer.radial.cutoff, elem, c), computer.radial.cutoff
+        )
+        return jnp.sum(computer.compute_from_neighbors(elem, c, nb) ** 2)
+
+    blocked = aevc.replace(atom_block=16)  # 4 blocks -> lax.map + policy
+    single = aevc.replace(atom_block=None)
+    v1, g1 = jax.value_and_grad(lambda c: aev_sum(c, blocked))(coords)
+    v2, g2 = jax.value_and_grad(lambda c: aev_sum(c, single))(coords)
+    assert float(abs(v1 - v2)) < 1e-4 * abs(float(v2))
+    scale = float(jnp.max(jnp.abs(g2))) + 1e-9
+    assert float(jnp.max(jnp.abs(g1 - g2))) / scale < 1e-6
+
+
+def test_angular_count_split_matches_unsplit():
+    """The count-class angular split (angular_split=(k_small, n_dense)) must
+    reproduce the unsplit AEVs and gradients, and NaN-poison when more rows
+    exceed k_small than the dense class holds."""
+    import torchani_tpu as tt
+    from torchani_tpu.neighbors import all_pairs, narrow_to_cutoff
+    from torchani_tpu.testing import make_water_box
+
+    species_np, coords_np, _cell = make_water_box(90)
+    species = jnp.asarray(species_np)
+    coords = jnp.asarray(coords_np)
+    model = tt.simple_ani(("H", "O"), ensemble_size=1)
+    elem = model.species_converter(species)
+    # angular_capacity below the table capacity forces the repack, so valid
+    # lanes form the per-row prefix the split's static slice requires
+    base = model.aev_computer.replace(angular_capacity=20)
+
+    def aev(c, computer):
+        nb = narrow_to_cutoff(
+            all_pairs(computer.radial.cutoff, elem, c), computer.radial.cutoff
+        )
+        return computer.compute_from_neighbors(elem, c, nb)
+
+    ref, g_ref = jax.value_and_grad(
+        lambda c: jnp.sum(aev(c, base) ** 2)
+    )(coords)
+    counts_ok = base.replace(angular_split=(12, 64))
+    v, g = jax.value_and_grad(lambda c: jnp.sum(aev(c, counts_ok) ** 2))(coords)
+    assert float(abs(v - ref)) < 1e-4 * abs(float(ref)) + 1e-5
+    scale = float(jnp.max(jnp.abs(g_ref))) + 1e-9
+    assert float(jnp.max(jnp.abs(g - g_ref))) / scale < 1e-6
+
+    # overflow: a tiny dense class cannot hold every row over k_small
+    too_small = base.replace(angular_split=(8, 2))
+    out = aev(coords, too_small)
+    assert not bool(jnp.isfinite(out).all())

@@ -50,8 +50,10 @@ def main():
     md = MolecularDynamics(
         model, sp, cell=jnp.asarray(cell), pbc=True, bucket_refresh=bucket
     )
-    model = md.model  # includes the sorted-lane angular preslice
     state = md.init(jnp.asarray(coords))
+    # AFTER init: includes the sorted-lane angular preslice AND the
+    # measured count-class angular split (init-time auto-tunes)
+    model = md.model
     print(f"bucket_refresh c={md._bucket_c}", flush=True)
     elem = md.elem_idxs
     c0 = state.coords

@@ -79,6 +79,29 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+@jax.custom_vjp
+def _perm_rows(x: Array, order: Array, inv: Array) -> Array:
+    """Row permutation ``x[order]`` whose backward is the INVERSE gather.
+
+    The vjp of a plain row gather is a scatter-add; for a permutation the
+    scatter is exactly a gather by the inverse (every output row has one
+    unique source), so both directions stay in the cheap wide-row-gather
+    class.  ``inv`` must satisfy ``order[inv] == arange``.
+    """
+    return jnp.take(x, order, axis=0)
+
+
+def _perm_rows_fwd(x, order, inv):
+    return jnp.take(x, order, axis=0), inv
+
+
+def _perm_rows_bwd(inv, g):
+    return jnp.take(g, inv, axis=0), None, None
+
+
+_perm_rows.defvjp(_perm_rows_fwd, _perm_rows_bwd)
+
+
 @functools.lru_cache(maxsize=None)
 def _diag_pair_pos(num_species: int) -> np.ndarray:
     """Positions of the (s, s) diagonal pairs in upper-tri row-major order."""
@@ -115,6 +138,19 @@ class AEVComputer(struct.PyTreeNode):
     # driver's Verlet cache does this (md.py:_build_cache) so the per-step
     # top_k repack scans ~56 lanes instead of the full radial capacity.
     angular_preslice: tp.Optional[int] = struct.field(
+        pytree_node=False, default=None
+    )
+    # Count-class angular split ``(k_small, n_dense)``: per step, rows are
+    # ordered by valid-lane count; the n_dense densest rows run the angular
+    # path at full capacity and the rest at only k_small lanes (pair work
+    # scales ~capacity^2, and in a liquid ~85% of rows sit well below the
+    # worst-case capacity).  ONLY applied when the angular table was
+    # repacked (valid lanes then form a per-row prefix, so the small class
+    # is a static lane slice).  More rows over k_small than n_dense would
+    # silently truncate — detected and NaN-poisoned like capacity overflow.
+    # Set from measured count distributions by the MD driver (md.py); None
+    # disables.
+    angular_split: tp.Optional[tp.Tuple[int, int]] = struct.field(
         pytree_node=False, default=None
     )
 
@@ -259,7 +295,8 @@ class AEVComputer(struct.PyTreeNode):
             )
         angular_nbrs = narrow_to_cutoff(angular_src, self.angular.cutoff)
         cap = self._angular_capacity(neighbors.capacity, a)
-        if cap < angular_nbrs.capacity:
+        packed_prefix = cap < angular_nbrs.capacity
+        if packed_prefix:
             angular_nbrs = repack_to_capacity(angular_nbrs, cap)
         # Silent truncation would yield plausibly-wrong physics; poison the
         # output with NaN instead (the TPU-friendly analog of cuAEV's
@@ -286,7 +323,10 @@ class AEVComputer(struct.PyTreeNode):
             overflow=angular_nbrs.overflow,
             elem=None if angular_nbrs.elem is None else flat(angular_nbrs.elem),
         )
-        aev = self._aev_flat(elem_idxs.reshape(-1), rn, an, present=present)
+        aev = self._aev_flat(
+            elem_idxs.reshape(-1), rn, an, present=present,
+            packed_prefix=packed_prefix,
+        )
         return aev.reshape(c, a, self.out_dim) * poison
 
     def _present_species(self, elem: Array) -> tp.Optional[tp.Tuple[int, ...]]:
@@ -331,6 +371,7 @@ class AEVComputer(struct.PyTreeNode):
         radial_nbrs: Neighbors,  # (N, K)
         angular_nbrs: Neighbors,  # (N, Ka)
         present: tp.Optional[tp.Tuple[int, ...]] = None,
+        packed_prefix: bool = False,
     ) -> Array:
         # row count from the table, not elem_flat: for sharded (domain-
         # decomposed) evaluation the tables hold one shard of atom rows while
@@ -382,6 +423,7 @@ class AEVComputer(struct.PyTreeNode):
         )  # (N, Ka, S), zero rows for masked lanes
 
         atom_block = self._atom_block(angular_nbrs.capacity)
+        split = self.angular_split if packed_prefix else None
         if self._use_pallas():
             angular_aev = _angular_pallas_op(
                 self._pallas_config(),
@@ -390,12 +432,67 @@ class AEVComputer(struct.PyTreeNode):
                 amask.astype(adist.dtype),
                 aoh,
             )
+        elif (
+            split is not None
+            and 0 < split[1] < n
+            and split[0] < angular_nbrs.capacity
+        ):
+            angular_aev = self._angular_split_xla(
+                atom_block, adist, adiff, amask.astype(adist.dtype), aoh,
+                present,
+            )
         else:
             angular_aev = _angular_xla(
                 self.angular, s, atom_block, adist, adiff,
                 amask.astype(adist.dtype), aoh, present,
             )
         return jnp.concatenate([radial_aev, angular_aev], axis=-1)
+
+    def _angular_split_xla(
+        self,
+        atom_block: int,
+        adist: Array,  # (N, Ka), masked lanes 1.0
+        adiff: Array,  # (N, Ka, 3)
+        amaskf: Array,  # (N, Ka) float 0/1
+        aoh: Array,  # (N, Ka, S)
+        present: tp.Optional[tp.Tuple[int, ...]],
+    ) -> Array:
+        """Count-class angular evaluation (see ``angular_split``).
+
+        Rows are reordered by descending valid-lane count (f32-key top_k;
+        the permutation and its inverse are applied through `_perm_rows`,
+        keeping both AD directions in the wide-row-gather class).  Because
+        the repacked table holds each row's valid lanes as a prefix, the
+        sparse class is a *static* lane slice ``[:, :k_small]``.  If more
+        than ``n_dense`` rows exceed ``k_small`` lanes, the result would be
+        silently truncated — NaN-poisoned instead (capacity-overflow
+        convention).
+        """
+        s = self.num_species
+        k_small, n_dense = tp.cast(tp.Tuple[int, int], self.angular_split)
+        n = adist.shape[0]
+        counts = jnp.sum(amaskf, axis=1)
+        _, order = jax.lax.top_k(counts, n)  # descending, f32 keys
+        inv = (
+            jnp.zeros((n,), jnp.int32)
+            .at[order]
+            .set(jnp.arange(n, dtype=jnp.int32))
+        )
+        ok = jnp.sum(counts > k_small) <= n_dense
+        pd = lambda x: _perm_rows(x, order, inv)  # noqa: E731
+        adist, adiff, amaskf, aoh = pd(adist), pd(adiff), pd(amaskf), pd(aoh)
+        dense = _angular_xla(
+            self.angular, s, atom_block,
+            adist[:n_dense], adiff[:n_dense], amaskf[:n_dense],
+            aoh[:n_dense], present,
+        )
+        small = _angular_xla(
+            self.angular, s, atom_block,
+            adist[n_dense:, :k_small], adiff[n_dense:, :k_small],
+            amaskf[n_dense:, :k_small], aoh[n_dense:, :k_small], present,
+        )
+        out = _perm_rows(jnp.concatenate([dense, small], axis=0), inv, order)
+        return out * jnp.where(ok, jnp.float32(1.0), jnp.float32(jnp.nan))
 
     def _atom_block(self, ka: int) -> int:
         """Atoms per angular tile. The fixed default (256) measures best on
@@ -692,6 +789,12 @@ def _angular_xla(
         # O(A * Ka^2 * Z) HBM.  Recomputing the block forward during
         # backward keeps memory at one block (the jax.checkpoint analog of
         # cuAEV's kernel-local recomputation).
+        #
+        # Measured and rejected (r2): a save-names policy stashing the
+        # packed path's transcendental outputs (exp/pow/sqrt residuals,
+        # ~200 MB at 10k-atom MD shapes) made the step SLOWER (aev_tbl
+        # fwd+bwd 7.03 vs 6.41 ms) — the residual HBM traffic costs more
+        # than re-running the transcendentals, so full recompute stays.
         reshape_blk = lambda x: x.reshape((nblk, blk) + x.shape[1:])  # noqa: E731
         out = jax.lax.map(
             jax.checkpoint(

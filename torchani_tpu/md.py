@@ -246,6 +246,15 @@ def _with_angular_preslice(model, prefix: int):
     return model.replace(potentials=pots)
 
 
+def _with_angular_split(model, split: tp.Tuple[int, int]):
+    """Return a model copy with the count-class angular split configured."""
+    nnp = model.potentials["nnp"]
+    aevc = nnp.aev_computer.replace(angular_split=split)
+    pots = dict(model.potentials)
+    pots["nnp"] = nnp.replace(aev_computer=aevc)
+    return model.replace(potentials=pots)
+
+
 def _with_nn_precision(model, precision: str):
     """Return a model copy with the NN matmul precision set (if applicable)."""
     nnp = model.potentials["nnp"]
@@ -457,6 +466,7 @@ class MolecularDynamics:
         self._bucket_packed = bucket_refresh == "packed"
         self._bucket_c: tp.Optional[int] = None
         self._bucket_span: tp.Optional[tp.Tuple[int, int]] = None
+        self._angular_split_done = False
         self._wrapshift: tp.Optional[np.ndarray] = None
         self._valid_atom = host_elem >= 0
         # thermostat/barostat degrees of freedom: real atoms only (dummies
@@ -564,6 +574,59 @@ class MolecularDynamics:
         self._wrapshift = make_wrapshift(self.grid_shape, cell)
         # the build program's output structure now includes the tables
         self._build_jit = None
+
+    def _ensure_angular_split(self, state: "MDState", coords: Array) -> None:
+        """Configure the count-class angular split from measured counts.
+
+        In a liquid most atoms have far fewer angular-range neighbors than
+        the worst-case capacity the static table must hold, and angular
+        pair work scales ~capacity^2.  Measure the count distribution of
+        the initial configuration once (host fetch of one (A,) vector),
+        pick the (k_small, n_dense) pair minimizing estimated pair-lane
+        work with a drift margin, and rebuild the model with
+        ``aev_computer.angular_split`` set (aev/computer.py).  Runtime
+        violations of the static class capacity NaN-poison the trajectory
+        like every other capacity overflow.
+        """
+        if self._angular_split_done:
+            return
+        self._angular_split_done = True
+        a = int(coords.shape[0])
+        if a < 2048:
+            return  # small systems: the split's sort overhead dominates
+        try:
+            aevc = self.model.aev_computer
+            r_ang = float(aevc.angular.cutoff)
+            cap = aevc._angular_capacity(self.capacity, a)
+        except (AttributeError, KeyError):
+            return
+        if cap < 16:
+            return
+        from torchani_tpu.neighbors import narrow_to_cutoff
+
+        def _counts(st, c):
+            nb = narrow_to_cutoff(_refresh_neighbors(st, c), r_ang)
+            return jnp.sum(nb.mask, axis=1)
+
+        counts = np.minimum(
+            np.asarray(jax.device_get(jax.jit(_counts)(state, coords))), cap
+        )
+        kp = lambda k: k * (k - 1) / 2.0  # noqa: E731
+        base = a * kp(cap)
+        best = None
+        for k_small in range(8, cap - 3, 2):
+            over = int((counts > k_small).sum())
+            n_dense = int(-(-int(over * 1.3 + 64) // 64) * 64)
+            if n_dense >= a:
+                continue
+            cost = n_dense * kp(cap) + (a - n_dense) * kp(k_small)
+            if best is None or cost < best[0]:
+                best = (cost, k_small, n_dense)
+        if best is None or best[0] > 0.85 * base:
+            return  # <15% estimated saving: not worth the per-step sort
+        _, k_small, n_dense = best
+        self.model = _with_angular_split(self.model, (k_small, n_dense))
+        self._runner_cache = {}
 
     def _to_internal(self, coords: Array) -> Array:
         if self._species_perm is None:
@@ -787,6 +850,7 @@ class MolecularDynamics:
             else jnp.asarray(self._species_perm),
             bucket=tables,
         )
+        self._ensure_angular_split(state, coords)
         e, f = jax.jit(self._energy_and_forces)(state, coords)
         return state.replace(energy=e, forces=f)
 
