@@ -5,9 +5,11 @@ from torchani_tpu.aev.terms import (
     ANIAngular,
     ANIRadial,
     Angular,
+    AngularArg,
     BaseAngular,
     BaseRadial,
     Radial,
+    RadialArg,
     parse_angular_term,
     parse_radial_term,
 )
@@ -17,7 +19,9 @@ __all__ = [
     "ANIAngular",
     "ANIRadial",
     "Angular",
+    "AngularArg",
     "Radial",
+    "RadialArg",
     "BaseAngular",
     "BaseRadial",
     "parse_angular_term",

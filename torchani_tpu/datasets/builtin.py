@@ -11,6 +11,7 @@ deterministic synthetic dataset locally (the reference's TestData analog).
 
 import hashlib
 import typing as tp
+from enum import Enum
 from pathlib import Path
 
 import numpy as np
@@ -37,11 +38,47 @@ __all__ = [
     "IonsHeavy",
     "IonsVeryHeavy",
     "DatasetIntegrityError",
+    "_DatasetId",
+    "_LotId",
 ]
 
 
 class DatasetIntegrityError(RuntimeError):
     pass
+
+
+class _DatasetId(Enum):
+    """Builtin-dataset identifiers (reference
+    ``datasets/builtin.py:374-389``; exported in the reference's
+    ``datasets.__all__``, kept for API parity)."""
+
+    TESTDATA = "TestData"
+    TESTDATAIONS = "TestDataIons"
+    TESTDATAFORCESDIPOLES = "TestDataForcesDipoles"
+    IONSVERYHEAVY = "IonsVeryHeavy"
+    IONSHEAVY = "IonsHeavy"
+    IONSLIGHT = "IonsLight"
+    ANI1Q = "ANI1q"
+    ANI2QHEAVY = "ANI2qHeavy"
+    ANI1CCX = "ANI1ccx"
+    ANI1X = "ANI1x"
+    ANI2X = "ANI2x"
+    COMP6V1 = "COMP6v1"
+    COMP6V2 = "COMP6v2"
+    ANI1E = "ANI1e"
+
+
+class _LotId(Enum):
+    """Level-of-theory identifiers (reference ``datasets/builtin.py:391+``)."""
+
+    DEFAULT = "default"
+    ALL = "all"
+    B973C_DEF2MTZVP = "b973c-def2mtzvp"
+    CCSD_PTP_STAR_CBS = "ccsd(t)star-cbs"
+    WB97MD3BJ_DEF2TZVPP = "wb97md3bj-def2tzvpp"
+    WB97MV_DEF2TZVPP = "wb97mv-def2tzvpp"
+    WB97X_631GD = "wb97x-631gd"
+    WB97X_DEF2TZVPP = "wb97x-def2tzvpp"
 
 
 #: name -> {lot: filename}; mirrors the reference's builtin_datasets.json ids
