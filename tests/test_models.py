@@ -76,3 +76,41 @@ def test_custom_models_hook(tmp_path, monkeypatch):
 
     with pytest.raises(AttributeError):
         models.NoSuchModel
+
+
+def test_periodic_table_indexing_equivalence():
+    """Atomic-number inputs (periodic_table_index=True) and pre-converted
+    element indices (False) must give identical results (reference
+    tests/test_periodic_table_indexing.py)."""
+    import torchani_tpu as tt
+
+    m_znum = tt.simple_ani(("H", "C", "N", "O"), ensemble_size=2)
+    m_idx = m_znum.replace(periodic_table_index=False)
+    znums = jnp.asarray([[6, 1, 1, 1, 1]])  # CH4
+    elem = m_znum.species_converter(znums)
+    assert elem.tolist() == [[1, 0, 0, 0, 0]]
+    rng = np.random.RandomState(0)
+    coords = jnp.asarray(rng.rand(1, 5, 3).astype(np.float32) * 2)
+    e_znum = np.asarray(m_znum(znums, coords))
+    e_idx = np.asarray(m_idx(elem, coords))
+    np.testing.assert_allclose(e_znum, e_idx, atol=0.0)
+    # padding (-1) passes through the converter untouched
+    padded = jnp.asarray([[6, 1, 1, 1, 1, -1]])
+    assert m_znum.species_converter(padded).tolist()[0][-1] == -1
+
+
+def test_to_infer_model_is_equivalent():
+    """`to_infer_model` (reference BMM/MNP inference conversion) must be a
+    no-op-by-design here — the default execution IS the fused batched form
+    — and keep producing identical energies."""
+    import torchani_tpu as tt
+
+    m = tt.simple_ani(("H", "O"), ensemble_size=3)
+    infer = m.to_infer_model(use_mnp=True)
+    sp = jnp.asarray([[8, 1, 1]])
+    co = jnp.asarray(
+        [[[0.0, 0.0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]]]
+    )
+    np.testing.assert_allclose(
+        np.asarray(m(sp, co)), np.asarray(infer(sp, co)), atol=0.0
+    )
