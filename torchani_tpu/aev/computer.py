@@ -128,7 +128,7 @@ class AEVComputer(struct.PyTreeNode):
     num_species: int = struct.field(pytree_node=False)
     strategy: str = struct.field(pytree_node=False, default="auto")
     neighborlist: tp.Any = struct.field(pytree_node=False, default=None)
-    atom_block: tp.Optional[int] = struct.field(pytree_node=False, default=256)
+    atom_block: tp.Optional[int] = struct.field(pytree_node=False, default=None)
     angular_capacity: tp.Optional[int] = struct.field(
         pytree_node=False, default=None
     )
@@ -487,7 +487,7 @@ class AEVComputer(struct.PyTreeNode):
             aoh[:n_dense], present,
         )
         small = _angular_xla(
-            self.angular, s, atom_block,
+            self.angular, s, self._atom_block(k_small),
             adist[n_dense:, :k_small], adiff[n_dense:, :k_small],
             amaskf[n_dense:, :k_small], aoh[n_dense:, :k_small], present,
         )
@@ -495,15 +495,22 @@ class AEVComputer(struct.PyTreeNode):
         return out * jnp.where(ok, jnp.float32(1.0), jnp.float32(jnp.nan))
 
     def _atom_block(self, ka: int) -> int:
-        """Atoms per angular tile. The fixed default (256) measures best on
-        v5e for both MD (Ka~32) and training (Ka~25) shapes; atom_block=None
-        sizes the (blk, Ka, Ka, Z) terms tensor to ~64 MB instead."""
+        """Atoms per angular tile (None = pair-work budget policy).
+
+        Per-block angular work scales as ``blk * ka^2``.  v5e measurements:
+        at MD-class capacities (Ka>=16) 256 is the sweet spot (Ka=28: 256
+        best of {256,512,1024,2048}; Ka=18 count-split class: 576 measured
+        neutral-to-worse than 256), while small training capacities want a
+        ~1.8e5 lane-pair budget per block (Ka=12: 1280 -> 87.5 ms/step vs
+        99.7 at 256 — the 260-iteration block loop pays ~40 us each).  Too
+        small wastes loop overhead; too large loses the remat/fusion sweet
+        spot."""
         if self.atom_block is not None:
             return self.atom_block
-        z = self.angular.num_feats
-        budget = 64 * 1024 * 1024
-        blk = budget // max(ka * ka * z * 4, 1)
-        return int(min(max(_ceil_to(blk, 8), 64), 4096))
+        if ka >= 16:
+            return 256
+        blk = 180_000 // max(ka * ka, 1)
+        return int(min(max(_ceil_to(blk, 64), 64), 4096))
 
     def _use_pallas(self) -> bool:
         if self.strategy == "xla":

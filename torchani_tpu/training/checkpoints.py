@@ -51,17 +51,39 @@ def latest_step(directory) -> tp.Optional[int]:
 
 def load_checkpoint(directory, template, step: tp.Optional[int] = None):
     """Restore a pytree saved by `save_checkpoint` into ``template``'s
-    structure; returns None if no checkpoint exists."""
+    structure; returns None if no checkpoint exists.
+
+    Device-agnostic (the reference's ``torch.load(map_location=...)``
+    semantics): array leaves are restored as host numpy and re-committed to
+    the default device, so a checkpoint written on one topology (e.g. a TPU
+    run) resumes cleanly on another (e.g. CPU) — orbax's default replays the
+    recorded sharding and fails when that device no longer exists.
+    """
     directory = Path(directory)
     if step is None:
         step = latest_step(directory)
         if step is None:
             return None
     path = (directory / f"step_{step:010d}").resolve()
+    import jax.numpy as jnp
     import orbax.checkpoint as ocp
 
-    restored = _checkpointer().restore(path, item=template)
-    return restored
+    restore_args = jax.tree.map(
+        lambda leaf: ocp.RestoreArgs(restore_type=np.ndarray)
+        if isinstance(leaf, (jax.Array, np.ndarray))
+        else ocp.RestoreArgs(),
+        template,
+    )
+    restored = _checkpointer().restore(
+        path, item=template, restore_args=restore_args
+    )
+    return jax.tree.map(
+        lambda tmpl, leaf: jnp.asarray(leaf)
+        if isinstance(tmpl, jax.Array)
+        else leaf,
+        template,
+        restored,
+    )
 
 
 def merge_members(containers: tp.Sequence) -> "tp.Any":
