@@ -38,6 +38,26 @@ def test_opt(water_xyz, tmp_path, capsys):
     assert out.exists()
 
 
+def test_opt_multi_conformer(tmp_path, capsys):
+    """A multi-conformer xyz relaxes the whole batch in one program."""
+    path = tmp_path / "waters.xyz"
+    species = np.array([[8, 1, 1]] * 3)
+    base = np.array(
+        [[0.0, 0.0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]],
+        dtype=np.float32,
+    )
+    coords = np.stack([base * s for s in (1.04, 1.1, 0.95)])
+    write_xyz(species, coords, path)
+    out = tmp_path / "opt.xyz"
+    main(["opt", str(path), "-m", "simple", "-n", "150", "-o", str(out)])
+    captured = capsys.readouterr().out
+    assert "[2] converged=" in captured and "steps=" in captured
+    from torchani_tpu.io import read_xyz
+
+    sp2, c2, _, _ = read_xyz(out)
+    assert c2.shape == (3, 3, 3)
+
+
 def test_data_roundtrip(tmp_path, capsys):
     from torchani_tpu.datasets import ANIDataset
 

@@ -142,30 +142,60 @@ def cmd_md(args) -> None:
 
 
 def cmd_opt(args) -> None:
-    """Geometry optimization (FIRE) from an xyz file."""
+    """Geometry optimization (FIRE) from an xyz file.
+
+    Multi-conformer files relax the whole batch in one device program
+    (`minimize_fire_batched`) — every conformer keeps its own adaptive FIRE
+    schedule and convergence flag.
+    """
     import jax.numpy as jnp
 
     from torchani_tpu.io import read_xyz, write_xyz
-    from torchani_tpu.optimize import minimize_fire
+    from torchani_tpu.optimize import minimize_fire, minimize_fire_batched
 
     model = _build_model(args.model, args.ensemble_member)
     species, coords, cell, pbc = read_xyz(args.xyz)
-    sp = jnp.asarray(species[:1])
     cellj = None if cell is None else jnp.asarray(cell)
     pbcj = None if (pbc is None or not pbc.any()) else jnp.asarray(pbc)
 
-    def energy_fn(c):
-        return jnp.sum(model(sp, c[None], cellj, pbcj))
+    if coords.shape[0] > 1:
+        sp = jnp.asarray(species)
 
-    state = minimize_fire(
-        energy_fn, jnp.asarray(coords[0]), max_steps=args.steps, fmax=args.fmax
-    )
-    print(
-        f"converged={bool(state.fmax <= args.fmax)} steps={int(state.step)} "
-        f"E={float(state.energy):.8f} Ha fmax={float(state.fmax):.6f}"
-    )
+        def batched_energy(c):
+            return model(sp, c, cellj, pbcj)
+
+        state = minimize_fire_batched(
+            batched_energy,
+            jnp.asarray(coords),
+            atom_mask=sp >= 0,
+            max_steps=args.steps,
+            fmax=args.fmax,
+        )
+        conv = np.asarray(state.fmax <= args.fmax)
+        for i in range(coords.shape[0]):
+            print(
+                f"[{i}] converged={bool(conv[i])} "
+                f"E={float(state.energy[i]):.8f} Ha "
+                f"fmax={float(state.fmax[i]):.6f}"
+            )
+        print(f"steps={int(state.step)} converged {int(conv.sum())}/{len(conv)}")
+        out_coords = np.asarray(state.coords)
+    else:
+        sp = jnp.asarray(species[:1])
+
+        def energy_fn(c):
+            return jnp.sum(model(sp, c[None], cellj, pbcj))
+
+        state = minimize_fire(
+            energy_fn, jnp.asarray(coords[0]), max_steps=args.steps, fmax=args.fmax
+        )
+        print(
+            f"converged={bool(state.fmax <= args.fmax)} steps={int(state.step)} "
+            f"E={float(state.energy):.8f} Ha fmax={float(state.fmax):.6f}"
+        )
+        out_coords = np.asarray(state.coords)[None]
     if args.output:
-        write_xyz(species[:1], np.asarray(state.coords)[None], args.output, cell=cell)
+        write_xyz(species, out_coords, args.output, cell=cell)
 
 
 def cmd_data_ls(args) -> None:
