@@ -23,6 +23,7 @@ from torchani_tpu import (
     optimize,
     potentials,
     profiling,
+    replica,
     sae,
     sae_estimation,
     transforms,
@@ -70,6 +71,7 @@ __all__ = [
     "optimize",
     "potentials",
     "profiling",
+    "replica",
     "cutoffs",
     "grad",
     "neighbors",
