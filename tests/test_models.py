@@ -1,5 +1,6 @@
 """Model-zoo factory tests (random init; pretrained weights unavailable)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -113,4 +114,30 @@ def test_to_infer_model_is_equivalent():
     )
     np.testing.assert_allclose(
         np.asarray(m(sp, co)), np.asarray(infer(sp, co)), atol=0.0
+    )
+
+
+def test_export_serialization_roundtrip():
+    """jax.export round-trip: the TPU-native analog of the reference's
+    TorchScript-everywhere test axis (reference _testing.py jit variants) —
+    the model must survive StableHLO serialization and reload bit-exactly."""
+    import torchani_tpu as tt
+
+    try:
+        from jax import export as jax_export
+    except ImportError:
+        import pytest
+
+        pytest.skip("jax.export unavailable in this jax version")
+
+    m = tt.simple_ani(("H", "O"), ensemble_size=2)
+    sp = jnp.asarray([[8, 1, 1]])
+    co = jnp.asarray(
+        [[[0.0, 0.0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]]]
+    )
+    exported = jax_export.export(jax.jit(lambda z, c: m(z, c)))(sp, co)
+    blob = exported.serialize()
+    reloaded = jax_export.deserialize(blob)
+    np.testing.assert_array_equal(
+        np.asarray(reloaded.call(sp, co)), np.asarray(m(sp, co))
     )
