@@ -33,8 +33,13 @@ def main():
     c0 = state.coords
 
     def build_fn(c):
-        idx, mask, shift, nbr_elem, rev, overflow = md._build_cache(c)
-        return shift.sum() + (idx + nbr_elem + rev).sum() + mask.sum()
+        idx, mask, shift, nbr_elem, rev, overflow, tables = md._build_cache(c)
+        tot = shift.sum() + (idx + nbr_elem + rev).sum() + mask.sum()
+        if tables is not None:
+            tot = tot + sum(
+                jnp.sum(x).astype(jnp.float32) for x in jax.tree.leaves(tables)
+            )
+        return tot
 
     reps = 10
     scanned = jax.jit(

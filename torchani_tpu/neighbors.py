@@ -594,7 +594,11 @@ def cell_list(
     masked lanes), ``atom_of_slot`` (G*B,) with sentinel ``A``,
     ``slot_of_atom`` (A,) with -1 for dummy/overflowed atoms, and
     ``central`` (A, 3), the coordinates mapped into the cell (so the caller
-    can freeze ``wrap_offset = coords - central``).
+    can freeze ``wrap_offset = coords - central``).  In this mode the
+    returned ``diff``/``dist`` are STOP-GRADIENT (assembled from the build's
+    screened candidate positions): the Verlet-cache consumer only reads them
+    for lane-sort keys and skin checks — forces flow through the per-step
+    refresh, never through the rebuild.
     """
     squeeze = elem_idxs.ndim == 2
     if squeeze:
@@ -741,19 +745,46 @@ def cell_list(
     valid_a = jnp.take(valid.reshape(g * b, n), atom_row, axis=0)  # (A, n)
     valid_a = valid_a & real[:, None]
     top, mask, overflow = _pack_positions(valid_a, capacity)
-    # resolve candidate -> atom idx / image shift via small per-bucket tables
-    # (g-row batch gathers; never materialize (A, n, 3))
+    # Resolve candidate -> (atom idx, image shift / position) through ONE
+    # multi-channel gather: payload-1 scalar row gathers vectorize ~2.5x
+    # worse on TPU than rows of >=3 f32 (measured 8.5 vs 3.3 ms at 10k-atom
+    # water shapes), so the separate idx / shift / position gathers are
+    # folded into one 4-channel payload table.  Candidate indices < 2^24
+    # ride f32 exactly.
     g_of_atom = jnp.where(real, bucket_id, 0)[:, None]  # (A, 1)
-    idx = jnp.take(cand_idx_b.reshape(-1), g_of_atom * n + top, axis=0)  # (A, K)
-    if periodic:
-        shift_go = (
-            jnp.asarray(wrap_np.reshape(-1, 3), dtype=coords.dtype) @ scell
-        ).reshape(g * 27, 3)
-        shift = jnp.take(shift_go, g_of_atom * 27 + top // b, axis=0)  # (A, K, 3)
+    idx_chan = cand_idx_b.astype(coords.dtype)[..., None]  # (G, 27, B, 1)
+    if bucket_aux:
+        # The Verlet-cache rebuild consumes only topology + build-time
+        # distances (lane-sort keys, skin checks); forces flow through the
+        # per-step refresh, never through the rebuild, so diff/dist can come
+        # straight from the (stop-gradient, shift-applied) candidate
+        # positions — no differentiable coords re-gather, no shift channel
+        # (the bucket-mode MD cache never reads per-lane shifts).
+        ptab = jnp.concatenate([idx_chan, cand_pos_b], axis=-1)
+    elif periodic:
+        shift_bb = jnp.broadcast_to(shift_cart_b, (g, 27, b, 3))
+        ptab = jnp.concatenate([idx_chan, shift_bb], axis=-1)
     else:
-        shift = None
-    idx = jnp.where(mask, idx, 0)
-    nbrs = _finalize(origin_coords, idx, mask, shift, overflow | bucket_overflow)
+        # position channels only widen the gather rows into the fast class;
+        # _finalize recomputes positions differentiably either way
+        ptab = jnp.concatenate([idx_chan, cand_pos_b], axis=-1)
+    payload = jnp.take(ptab.reshape(g * n, 4), g_of_atom * n + top, axis=0)
+    idx = jnp.where(mask, payload[..., 0].astype(jnp.int32), 0)
+    if bucket_aux:
+        diff = payload[..., 1:4] - jax.lax.stop_gradient(origin_coords)[:, None, :]
+        diff = jnp.where(mask[..., None], diff, 0.0)
+        nbrs = Neighbors(
+            idx=idx,
+            mask=mask,
+            diff=diff,
+            dist=_safe_norm(diff, mask),
+            overflow=overflow | bucket_overflow,
+        )
+    else:
+        shift = payload[..., 1:4] if periodic else None
+        nbrs = _finalize(
+            origin_coords, idx, mask, shift, overflow | bucket_overflow
+        )
     if squeeze:
         nbrs = jax.tree.map(lambda x: x[None] if x.ndim > 0 else x, nbrs)
         nbrs = nbrs.replace(overflow=jnp.squeeze(nbrs.overflow))
