@@ -18,6 +18,7 @@ from torchani_tpu import (
     legacy_data,
     md,
     models,
+    neb,
     neighbors,
     neurochem,
     optimize,
@@ -67,6 +68,7 @@ __all__ = [
     "legacy_data",
     "md",
     "models",
+    "neb",
     "neurochem",
     "optimize",
     "potentials",
