@@ -78,12 +78,23 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     force_training: bool = False,
     force_weight: float = 0.1,
+    nn_precision: tp.Optional[str] = "high",
 ):
     """Build (init_fn, step_fn) training functions over the NN subtree.
 
     Only the atomic networks are trained (matching the reference setup);
     AEV constants and self energies stay frozen.  ``step_fn`` is pure and
     jit/shard_map friendly: ``(state, batch) -> (state, metrics)``.
+
+    ``nn_precision``: TPU matmul precision for the NN chain inside the
+    training step. The default "high" (3 bf16 MXU passes, ~1e-6 relative
+    dot error; see `tools/nn_precision_bench.py`) halves the NN matmul
+    time of a force-training step vs "highest" (6 passes) — far tighter
+    than the bf16 mixed precision standard in NN training, and orders of
+    magnitude tighter than the TF32 mode the reference bans.  Pass
+    "highest" for strict f32 emulation or None to keep the model's own
+    setting.  Saved/checkpointed weights are unaffected (precision only
+    selects the matmul algorithm).
     """
 
     def init_fn(networks=None) -> TrainState:
@@ -100,6 +111,12 @@ def make_train_step(
 
     def loss_fn(networks, batch):
         model = _model_with_networks(model_template, networks)
+        if nn_precision is not None:
+            from torchani_tpu.md import _with_nn_precision
+
+            # static-field change on the same array leaves: selects the
+            # matmul algorithm only, grads still flow to `networks`
+            model = _with_nn_precision(model, nn_precision)
         return energy_force_loss(
             model,
             batch["species"],
