@@ -15,7 +15,7 @@ import numpy as np
 from torchani_tpu.constants import ATOMIC_NUMBER, PERIODIC_TABLE
 from torchani_tpu.utils import pad_atomic_properties
 
-__all__ = ["read_xyz", "write_xyz", "TorchaniIOError"]
+__all__ = ["read_xyz", "write_xyz", "read_pdb", "TorchaniIOError"]
 
 
 class TorchaniIOError(IOError):
@@ -222,3 +222,57 @@ def read_xyz(
     if return_comments:
         return out + (comments,)
     return out
+
+
+def read_pdb(
+    path,
+) -> tp.Tuple[np.ndarray, np.ndarray, tp.Optional[np.ndarray]]:
+    """Read a PDB file's atoms: ``(species (A,), coords (A, 3), cell | None)``.
+
+    Minimal structural-biology input lane for MD on solvated systems (the
+    reference ships ``dataset/pdb/`` inputs for its scaling benchmarks;
+    ``tools/scaling-md-benchmark.py:37-38`` reads them via mdtraj — here a
+    dependency-free column parser).  Understands ``ATOM``/``HETATM`` records
+    (element from columns 77-78, falling back to the atom-name field) and an
+    orthorhombic ``CRYST1`` cell.  Species are atomic numbers.
+    """
+    znums: tp.List[int] = []
+    coords: tp.List[tp.Tuple[float, float, float]] = []
+    cell = None
+    with open(Path(path), "rt", encoding="utf-8") as f:
+        for line in f:
+            rec = line[:6]
+            if rec == "CRYST1":
+                a, b, c = float(line[6:15]), float(line[15:24]), float(line[24:33])
+                alpha = float(line[33:40])
+                beta = float(line[40:47])
+                gamma = float(line[47:54])
+                if not (alpha == beta == gamma == 90.0):
+                    raise TorchaniIOError(
+                        "Only orthorhombic PDB cells are supported"
+                    )
+                cell = np.diag([a, b, c]).astype(np.float32)
+            elif rec.startswith(("ATOM", "HETATM")):
+                elem = line[76:78].strip()
+                if not elem:
+                    # fall back to the atom-name column (12-16): first letter
+                    # run, e.g. " CA " -> C, "HD21" -> H
+                    name = line[12:16].strip()
+                    elem = name[:2].capitalize()
+                    if elem not in ATOMIC_NUMBER:
+                        elem = name[0].upper()
+                else:
+                    elem = elem.capitalize()
+                if elem not in ATOMIC_NUMBER:
+                    raise TorchaniIOError(f"Unknown element {elem!r} in {path}")
+                znums.append(ATOMIC_NUMBER[elem])
+                coords.append(
+                    (float(line[30:38]), float(line[38:46]), float(line[46:54]))
+                )
+    if not znums:
+        raise TorchaniIOError(f"No ATOM/HETATM records in {path}")
+    return (
+        np.asarray(znums, dtype=np.int64),
+        np.asarray(coords, dtype=np.float32),
+        cell,
+    )

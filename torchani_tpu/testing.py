@@ -8,6 +8,7 @@ __all__ = [
     "make_molecs",
     "make_chain_molecs",
     "make_water_box",
+    "make_solvated_system",
     "Molecs",
     "make_molec",
     "make_reference_molecs",
@@ -288,3 +289,64 @@ def make_chain_molecs(
             degree[a] += 1
         coords[i, :n] = pos + rng.randn(1, 3) * 0.01
     return species, coords
+
+
+def make_solvated_system(
+    solute_pdb,
+    water_pdb,
+    box: float,
+    clash: float = 1.7,
+) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Solvate a PDB solute in tiled PDB water: ``(species, coords, cell)``.
+
+    The heterogeneous-MD benchmark input (BASELINE config 5; the reference
+    benchmarks MD on solvated proteins from ``dataset/pdb/``,
+    ``tools/scaling-md-benchmark.py:37-38``).  The water template cell is
+    tiled to fill an orthorhombic ``box`` (A), the solute is centered in it,
+    and any water molecule with an atom within ``clash`` A of a solute atom
+    (minimum image) is removed.  Species are atomic numbers, shape ``(A,)``.
+    """
+    from torchani_tpu.io import read_pdb
+
+    wz, wc, wcell = read_pdb(water_pdb)
+    if wcell is None:
+        raise ValueError("water template must have a CRYST1 cell")
+    side = float(wcell[0, 0])
+    n_rep = int(np.ceil(box / side))
+    cell = np.diag([box, box, box]).astype(np.float32)
+    # one water molecule = consecutive (O, H, H) records; wrap each molecule
+    # into the template cell by its centroid (keeps molecules whole and the
+    # density uniform), then tile
+    mols = wc.reshape(-1, 3, 3)
+    centroid = mols.mean(axis=1, keepdims=True)
+    mols = mols - np.floor(centroid / side) * side
+    offsets = np.stack(
+        np.meshgrid(*[np.arange(n_rep) * side] * 3, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    tiled = (mols[None] + offsets[:, None, None, :]).reshape(-1, 3, 3)
+    tiled_z = np.tile(wz.reshape(-1, 3), (len(offsets), 1))
+    # drop whole molecules whose centroid fell outside the (possibly
+    # non-multiple-of-side) target box
+    inside = (tiled.mean(axis=1) < box).all(axis=-1)
+    waters_xyz = tiled[inside]
+    waters_z = tiled_z[inside]
+
+    if solute_pdb is not None:
+        sz, sc, _ = read_pdb(solute_pdb)
+        sc = sc - sc.mean(axis=0) + box / 2.0
+        # minimum-image clash check, chunked over water atoms
+        flat = waters_xyz.reshape(-1, 3)
+        mind = np.empty(len(flat), dtype=np.float64)
+        for i0 in range(0, len(flat), 4096):
+            d = flat[i0 : i0 + 4096, None, :] - sc[None, :, :]
+            d -= np.round(d / box) * box
+            mind[i0 : i0 + 4096] = np.sqrt((d**2).sum(-1)).min(axis=1)
+        keep = (mind.reshape(-1, 3) > clash).all(axis=1)
+        waters_xyz = waters_xyz[keep]
+        waters_z = waters_z[keep]
+        species = np.concatenate([sz, waters_z.reshape(-1)])
+        coords = np.concatenate([sc, waters_xyz.reshape(-1, 3)], axis=0)
+    else:
+        species = waters_z.reshape(-1)
+        coords = waters_xyz.reshape(-1, 3)
+    return species.astype(np.int64), coords.astype(np.float32), cell
