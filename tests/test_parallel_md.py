@@ -57,6 +57,37 @@ def test_sharded_trajectory_matches(setup):
     np.testing.assert_allclose(float(st1.energy), float(st8.energy), atol=5e-5)
 
 
+def test_sharded_hetero_potentials_match_single_device(setup):
+    """ANI-2dr-class model (xTB repulsion + D3 dispersion) sharded == single.
+
+    The extra potentials run replicated in the sharded driver
+    (parallel/md.py "replicated cheap terms"); this pins the config-5
+    heterogeneous path on the multi-chip lane.
+    """
+    _, sp, coords, cell = setup
+    model = tt.simple_ani(
+        ("H", "C", "N", "O"), ensemble_size=2, repulsion=True,
+        dispersion=True, key=jax.random.PRNGKey(1),
+    )
+    md1 = MolecularDynamics(model, sp, cell=cell, pbc=True)
+    md8 = ShardedMolecularDynamics(model, sp, _mesh(8), cell=cell, pbc=True)
+    st1, st8 = md1.init(coords), md8.init(coords)
+    np.testing.assert_allclose(
+        float(st1.energy), float(st8.energy), rtol=0, atol=2e-5
+    )
+    a = sp.shape[1]
+    np.testing.assert_allclose(
+        np.asarray(st1.forces), np.asarray(st8.forces[:a]), atol=2e-5
+    )
+    # the extra potentials must actually contribute on the sharded lane
+    pots = dict(model.potentials)
+    pots["dispersion_d3"] = pots["dispersion_d3"].replace(enabled=False)
+    md_nod = ShardedMolecularDynamics(
+        model.replace(potentials=pots), sp, _mesh(8), cell=cell, pbc=True
+    )
+    assert abs(float(md_nod.init(coords).energy) - float(st8.energy)) > 1e-6
+
+
 def test_sharded_uneven_padding(setup):
     """49 atoms on 8 devices: pad to 56 with dummies."""
     model, sp, coords, cell = setup
