@@ -149,7 +149,10 @@ def main() -> None:
                     "cached_sp_ms": round(cached_sp_ms, 3),
                     "raw_ef_us_per_atom": round(us_per_atom, 4),
                     "tpu_parity": parity.get("tpu_parity"),
-                    "tpu_parity_detail": parity.get("strategies"),
+                    "tpu_parity_detail": {
+                        k: parity.get(k)
+                        for k in ("strategies", "zoo", "pbc", "md")
+                    },
                     "rebuilds_in_window": int(state.rebuilds),
                     "neighbor_overflow": bool(state.overflow),
                     "energy_finite": bool(jnp.isfinite(state.energy)),

@@ -837,6 +837,9 @@ def _angular_pallas_op(config, dist, diff, maskf, oh):
         cutoff_kind=kind,
         num_species=s,
         tile=16,
+        # off-TPU (CPU test/debug runs) the kernel must interpret — Mosaic
+        # only lowers for TPU
+        interpret=jax.default_backend() != "tpu",
     )
 
 
