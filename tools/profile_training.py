@@ -67,6 +67,15 @@ def main():
         ),
         "forces": jnp.zeros_like(jnp.asarray(coords)),
     }
+    if "--partition" in sys.argv:
+        from torchani_tpu.training import tune_species_partition
+
+        model = tune_species_partition(model, [batch])
+        print(
+            "caps:",
+            model.potentials["nnp"].neural_networks.partition,
+            flush=True,
+        )
     init_fn, step_fn = make_train_step(
         model, optax.adamw(1e-3), force_training=not energy_only
     )

@@ -29,6 +29,11 @@ def main():
     parser.add_argument("--angular-capacity", type=int, default=None)
     parser.add_argument("--atom-block", type=int, default=None)
     parser.add_argument(
+        "--no-partition",
+        action="store_true",
+        help="disable the species-blocked NN path (tune_species_partition)",
+    )
+    parser.add_argument(
         "--realistic",
         action="store_true",
         help="chain-bonded (GDB-like) molecules + density-bucketed "
@@ -83,6 +88,10 @@ def main():
             from torchani_tpu.training.loop import _model_with_angular_capacity
 
             m = _model_with_angular_capacity(model, capacity)
+        if not args.no_partition:
+            from torchani_tpu.training import tune_species_partition
+
+            m = tune_species_partition(m, [batch])
         _, step = make_train_step(
             m, optax.adamw(1e-3), force_training=args.force_training
         )

@@ -123,6 +123,15 @@ class AtomicNetworks(struct.PyTreeNode):
     #: max relative force error ~3e-5 on ANI-2x — far inside the
     #: reference's own 5e-4 infer-path tolerance).  Ignored on CPU.
     precision: str = struct.field(pytree_node=False, default="highest")
+    #: Static per-species row budgets for TRACED element arrays (training
+    #: batches): when set, atom rows are permuted into species-contiguous
+    #: blocks and each species' exact-size MLP runs over its own block —
+    #: instead of the padded path's every-network-over-every-row matmuls
+    #: (S-fold redundant).  Set from data via
+    #: `training.tune_species_partition`; overflow NaN-poisons.
+    partition: tp.Optional[tp.Tuple[int, ...]] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def num_species(self) -> int:
@@ -160,6 +169,10 @@ class AtomicNetworks(struct.PyTreeNode):
         x0 = aevs.reshape(c * a, aevs.shape[-1])
         elem = elem_idxs.reshape(c * a)
         num_layers = len(self.weights)
+        if self.partition is not None and isinstance(elem_idxs, jax.core.Tracer):
+            return self._atomic_scalars_blocked(act, elem, x0).reshape(
+                c, a, self.out_dim
+            )
         # If the species array is a trace-time constant (e.g. MD closes over
         # a fixed system), skip element networks with no atoms — a pure-water
         # box then runs 2 of 7 networks.  Traced species fall back to all.
@@ -257,6 +270,52 @@ class AtomicNetworks(struct.PyTreeNode):
             else:
                 out = out.at[rows].set(x)
         return out
+
+    def _atomic_scalars_blocked(
+        self,
+        act: tp.Callable[[Array], Array],
+        elem: Array,  # (N,) traced
+        x0: Array,  # (N, feat)
+    ) -> Array:
+        """Traced-species blocked evaluation (see `partition`).
+
+        One f32-key sort + two permutation gathers (`nn.partition`) replace
+        the padded path's S-fold redundant matmuls; each species' MLP runs
+        at its exact (unpadded) layer dims over a static `partition[s]`-row
+        block.  Dummy rows never enter a block.  Species-count overflow
+        NaN-poisons the output (capacity convention).
+        """
+        from torchani_tpu.nn.partition import (
+            block_rows,
+            species_blocks,
+            unblock_rows,
+        )
+
+        caps = tp.cast(tp.Tuple[int, ...], self.partition)
+        if len(caps) != self.num_species:
+            raise ValueError(
+                f"partition has {len(caps)} entries for "
+                f"{self.num_species} species"
+            )
+        blocks = species_blocks(elem, caps)
+        xb = block_rows(x0, blocks)  # (P, feat)
+        outs: tp.List[Array] = []
+        off = 0
+        for s, cap in enumerate(caps):
+            dims = self.layer_dims[s]
+            x = jax.lax.slice_in_dim(xb, off, off + cap)
+            for li in range(len(self.weights)):
+                w = self.weights[li][s, : dims[li], : dims[li + 1]]
+                x = jnp.dot(x, w, precision=self._matmul_precision)
+                if self.biases is not None:
+                    x = x + self.biases[li][s, : dims[li + 1]]
+                if li + 1 < len(self.weights):
+                    x = act(x)
+            outs.append(x)
+            off += cap
+        yb = jnp.concatenate(outs, axis=0)  # (P, out_dim)
+        y = unblock_rows(yb, blocks)  # (N, out_dim); dummies/overflow 0
+        return y * jnp.where(blocks.ok, 1.0, jnp.float32(jnp.nan))
 
     def __call__(
         self,
@@ -529,6 +588,12 @@ class Ensemble(struct.PyTreeNode):
     )
     #: see `AtomicNetworks.precision`
     precision: str = struct.field(pytree_node=False, default="highest")
+    #: see `AtomicNetworks.partition`; the block permutation is derived from
+    #: the (member-independent) element array, so under the member vmap it
+    #: is computed once, not per member
+    partition: tp.Optional[tp.Tuple[int, ...]] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def num_species(self) -> int:
@@ -572,6 +637,7 @@ class Ensemble(struct.PyTreeNode):
             symbols=self.symbols,
             activation=self.activation,
             precision=self.precision,
+            partition=self.partition,
         )
 
     def _active(self) -> tp.Tuple[tp.Tuple[Array, ...], tp.Optional[tp.Tuple[Array, ...]]]:
@@ -594,6 +660,7 @@ class Ensemble(struct.PyTreeNode):
                 symbols=self.symbols,
                 activation=self.activation,
                 precision=self.precision,
+                partition=self.partition,
             )
             return net.atomic_scalars(elem_idxs, aevs)
 

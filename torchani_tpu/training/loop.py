@@ -26,6 +26,7 @@ __all__ = [
     "make_train_step",
     "make_bucketed_train_step",
     "tune_angular_capacity",
+    "tune_species_partition",
 ]
 
 
@@ -37,6 +38,13 @@ class TrainState(struct.PyTreeNode):
 
 def _model_with_networks(model: ANI, networks) -> ANI:
     pots = dict(model.potentials)
+    # static execution hints (species partition) live on the TEMPLATE; a
+    # trained/restored networks subtree must inherit them, or swapping the
+    # weights in would silently drop the blocked path
+    tmpl = pots["nnp"].neural_networks
+    tmpl_part = getattr(tmpl, "partition", None)
+    if tmpl_part is not None and getattr(networks, "partition", None) != tmpl_part:
+        networks = networks.replace(partition=tmpl_part)
     pots["nnp"] = pots["nnp"].replace(neural_networks=networks)
     return model.replace(potentials=pots)
 
@@ -62,10 +70,13 @@ def energy_force_loss(
         return jnp.mean((energies - target_energies) ** 2 / jnp.sqrt(num_atoms))
 
     def esum(c):
-        return jnp.sum(model(species, c))
+        e = model(species, c)
+        return jnp.sum(e), e
 
-    energies = model(species, coords)
-    forces = -jax.grad(esum)(coords)
+    # one forward serves both the energy residuals and the force backward
+    # (value_and_grad + aux, instead of model(...) AND grad(esum))
+    (_, energies), neg_forces = jax.value_and_grad(esum, has_aux=True)(coords)
+    forces = -neg_forces
     e_loss = jnp.mean((energies - target_energies) ** 2 / jnp.sqrt(num_atoms))
     f_loss = jnp.mean(
         jnp.sum((forces - target_forces) ** 2, axis=(-1, -2)) / num_atoms
@@ -187,6 +198,52 @@ def tune_angular_capacity(
     pots = dict(model.potentials)
     pots["nnp"] = nnp.replace(
         aev_computer=aevc.replace(angular_capacity=cap)
+    )
+    return model.replace(potentials=pots)
+
+
+def tune_species_partition(
+    model: ANI,
+    batches: tp.Iterable[tp.Mapping[str, tp.Any]],
+    margin: float = 1.2,
+    quantum: int = 256,
+    max_batches: int = 16,
+) -> ANI:
+    """Enable species-blocked NN evaluation sized to the data.
+
+    Measures per-species atom counts over sample batches (host-side) and
+    pins static per-species row budgets on the networks
+    (`nn.containers.AtomicNetworks.partition`): the training step then
+    permutes atom rows into species blocks and runs each species' MLP at
+    its exact size over its own block, instead of every network over every
+    row (S-fold redundant — profiled at ~18 ms of a 72 ms batch-2560 force
+    step).  Budget overflow at run time NaN-poisons (never silent), so a
+    drifting batch composition surfaces loudly — re-tune with a larger
+    margin if it does.  Returns a model copy.
+    """
+    import numpy as np
+
+    from torchani_tpu.nn.partition import measure_caps, supports
+
+    nnp = model.potentials["nnp"]
+    networks = nnp.neural_networks
+    rows = 0
+    species_iter = []
+    for bi, batch in enumerate(batches):
+        if bi >= max_batches:
+            break
+        conv = model._convert(jnp.asarray(np.asarray(batch["species"])))
+        arr = np.asarray(jax.device_get(conv))
+        rows = max(rows, arr.reshape(-1).shape[0])
+        species_iter.append(arr)
+    caps = measure_caps(
+        species_iter, networks.num_species, margin=margin, quantum=quantum
+    )
+    if not supports(networks.num_species, rows):
+        return model  # exact f32 sort keys unavailable at this scale
+    pots = dict(model.potentials)
+    pots["nnp"] = nnp.replace(
+        neural_networks=networks.replace(partition=caps)
     )
     return model.replace(potentials=pots)
 
