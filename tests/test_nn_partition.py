@@ -87,6 +87,41 @@ def test_blocked_force_training_step_matches(batch):
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
 
 
+def test_concrete_scattered_uses_static_blocks():
+    """Concrete species with scattered rows (>=512 atoms) run the blocked
+    path with a host-precomputed permutation; results match the traced
+    (padded) evaluation."""
+    model = tt.simple_ani(("H", "C", "N", "O"), ensemble_size=2)
+    species, coords = make_molecs(64, 12, seed=9)  # 768 rows, scattered
+    s = jnp.asarray(species)
+    c = jnp.asarray(coords)
+    e_concrete = model(s, c)  # eager: concrete species -> static blocks
+    e_traced = jax.jit(lambda s_, c_: model(s_, c_))(s, c)  # traced, padded
+    np.testing.assert_allclose(
+        np.asarray(e_concrete), np.asarray(e_traced), atol=1e-6
+    )
+
+
+def test_static_blocks_permutation():
+    from torchani_tpu.nn.partition import species_blocks_static
+
+    elem = np.asarray([2, -1, 0, 0, 3, -1, 2, 0], np.int32)
+    blocks = species_blocks_static(elem)
+    inv = np.asarray(blocks.inv)
+    pos = np.asarray(blocks.pos)
+    n = elem.shape[0]
+    for i, e in enumerate(elem):
+        if e < 0:
+            assert pos[i] == len(inv)  # dropped
+        else:
+            assert inv[pos[i]] == i
+    # empty slots point at the zero pad row
+    real_slots = set(int(p) for p, e in zip(pos, elem) if e >= 0)
+    for slot in range(len(inv)):
+        if slot not in real_slots:
+            assert inv[slot] == n
+
+
 def test_partition_overflow_poisons(batch):
     model = tt.simple_ani(("H", "C", "N", "O"), ensemble_size=1)
     nnp = model.potentials["nnp"]

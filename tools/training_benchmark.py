@@ -97,18 +97,22 @@ def main():
         )
         state = init_fn()
 
+        # batch rides as a jit ARGUMENT: real epochs feed a different batch
+        # through the same compiled step each call, so species must be
+        # traced — closing over the batch would let trace-time constant
+        # folding specialize paths no real training run gets
         @jax.jit
-        def chunk(state):
+        def chunk(state, batch):
             def body(st, _):
                 st, metrics = step(st, batch)
                 return st, metrics["loss"]
 
             return jax.lax.scan(body, state, None, length=args.iters)
 
-        st2, losses = chunk(state)
+        st2, losses = chunk(state, batch)
         _ = float(losses[-1])  # compile + sync
         t0 = time.perf_counter()
-        st2, losses = chunk(state)
+        st2, losses = chunk(state, batch)
         _ = float(losses[-1])
         return (time.perf_counter() - t0) / args.iters * 1e3
 

@@ -803,10 +803,18 @@ def _angular_xla(
         # fwd+bwd 7.03 vs 6.41 ms) — the residual HBM traffic costs more
         # than re-running the transcendentals, so full recompute stays.
         reshape_blk = lambda x: x.reshape((nblk, blk) + x.shape[1:])  # noqa: E731
+        body = lambda a: _angular_rows(  # noqa: E731
+            angular, num_species, *a, present=present
+        )
+        import os
+
+        if os.environ.get("TORCHANI_TPU_ANGULAR_REMAT", "1") != "0":
+            # default: full recompute in backward (one block of residuals;
+            # a save-names policy measured SLOWER at MD shapes — see
+            # docs/performance.md "measured and rejected")
+            body = jax.checkpoint(body)
         out = jax.lax.map(
-            jax.checkpoint(
-                lambda a: _angular_rows(angular, num_species, *a, present=present)
-            ),
+            body,
             tuple(reshape_blk(x) for x in args),
         ).reshape(n_pad, -1)
     return out[:n]

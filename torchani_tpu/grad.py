@@ -74,12 +74,13 @@ def energies_and_forces(
     pbc: tp.Optional[Array] = None,
     **kwargs,
 ) -> tp.Tuple[Array, Array]:
-    e, g = jax.value_and_grad(_energy_sum, argnums=2)(
-        model, species, coords, cell, pbc, **kwargs
-    )
-    # value_and_grad collapses energies; recompute per-molecule energies is
-    # free under jit (CSE), so call the model again for the vector output.
-    e_vec = model(species, coords, cell, pbc, **kwargs)
+    def esum(c):
+        e = model(species, c, cell, pbc, **kwargs)
+        return jnp.sum(e), e
+
+    # one forward serves both outputs (value_and_grad + aux) — relying on
+    # XLA CSE to merge a second model call is not guaranteed eagerly
+    (_, e_vec), g = jax.value_and_grad(esum, has_aux=True)(coords)
     return e_vec, -g
 
 

@@ -170,7 +170,16 @@ class AtomicNetworks(struct.PyTreeNode):
         elem = elem_idxs.reshape(c * a)
         num_layers = len(self.weights)
         if self.partition is not None and isinstance(elem_idxs, jax.core.Tracer):
-            return self._atomic_scalars_blocked(act, elem, x0).reshape(
+            from torchani_tpu.nn.partition import species_blocks
+
+            caps = self.partition
+            if len(caps) != self.num_species:
+                raise ValueError(
+                    f"partition has {len(caps)} entries for "
+                    f"{self.num_species} species"
+                )
+            blocks = species_blocks(elem, caps)
+            return self._atomic_scalars_blocked(act, x0, blocks).reshape(
                 c, a, self.out_dim
             )
         # If the species array is a trace-time constant (e.g. MD closes over
@@ -188,12 +197,15 @@ class AtomicNetworks(struct.PyTreeNode):
             # specialization of the reference's nonzero/index_select
             # per-species loop (nn/_containers.py:412).
             #
-            # ONLY when every species' rows form a contiguous block (the MD
-            # driver species-sorts its internal atom order): for scattered
-            # rows (e.g. a molecule batch closed over as a constant) the
-            # static gathers + at[].set scatters and their AD transposes
-            # were profiled at ~22 ms/step on the batch-2560 training shape
-            # — far worse than the padded batched-matmul path below.
+            # Contiguous blocks (the MD driver species-sorts its internal
+            # atom order): true slices.  Scattered rows (e.g. a molecule
+            # batch closed over as a constant — on some platforms ops on a
+            # closed-over constant stay concrete all the way here): the
+            # blocked path with a HOST-precomputed permutation — the
+            # per-species row movement is two wide-row constant-index
+            # gathers, not the static gathers + at[].set scatters that were
+            # profiled at ~22 ms/step, and not the padded path's S-fold
+            # redundant matmuls.
             contiguous = all(
                 (lambda r: r.size == 0 or int(r[-1]) - int(r[0]) + 1 == r.size)(
                     np.flatnonzero(host_elem == s)
@@ -204,6 +216,13 @@ class AtomicNetworks(struct.PyTreeNode):
                 return self._atomic_scalars_static(
                     act, host_elem, x0, species_list
                 ).reshape(c, a, self.out_dim)
+            if host_elem.size >= 512:
+                from torchani_tpu.nn.partition import species_blocks_static
+
+                blocks = species_blocks_static(host_elem)
+                return self._atomic_scalars_blocked(act, x0, blocks).reshape(
+                    c, a, self.out_dim
+                )
         sel = np.asarray(species_list)
         # With every species present the [sel] gather is an identity — emit
         # the array itself (a real gather of closed-over constant weights
@@ -274,30 +293,21 @@ class AtomicNetworks(struct.PyTreeNode):
     def _atomic_scalars_blocked(
         self,
         act: tp.Callable[[Array], Array],
-        elem: Array,  # (N,) traced
         x0: Array,  # (N, feat)
+        blocks,  # nn.partition.SpeciesBlocks
     ) -> Array:
-        """Traced-species blocked evaluation (see `partition`).
+        """Species-blocked evaluation (see `partition` / `nn.partition`).
 
-        One f32-key sort + two permutation gathers (`nn.partition`) replace
-        the padded path's S-fold redundant matmuls; each species' MLP runs
-        at its exact (unpadded) layer dims over a static `partition[s]`-row
-        block.  Dummy rows never enter a block.  Species-count overflow
+        Two permutation gathers move rows into species-contiguous blocks
+        (plus, for traced species, one f32-key sort to derive them); each
+        species' MLP runs at its exact (unpadded) layer dims over a static
+        `caps[s]`-row block — instead of the padded path's S-fold redundant
+        matmuls.  Dummy rows never enter a block.  Species-count overflow
         NaN-poisons the output (capacity convention).
         """
-        from torchani_tpu.nn.partition import (
-            block_rows,
-            species_blocks,
-            unblock_rows,
-        )
+        from torchani_tpu.nn.partition import block_rows, unblock_rows
 
-        caps = tp.cast(tp.Tuple[int, ...], self.partition)
-        if len(caps) != self.num_species:
-            raise ValueError(
-                f"partition has {len(caps)} entries for "
-                f"{self.num_species} species"
-            )
-        blocks = species_blocks(elem, caps)
+        caps = blocks.caps
         xb = block_rows(x0, blocks)  # (P, feat)
         outs: tp.List[Array] = []
         off = 0

@@ -40,7 +40,13 @@ import numpy as np
 
 from torchani_tpu.annotations import Array
 
-__all__ = ["species_blocks", "block_rows", "unblock_rows", "measure_caps"]
+__all__ = [
+    "species_blocks",
+    "species_blocks_static",
+    "block_rows",
+    "unblock_rows",
+    "measure_caps",
+]
 
 #: f32-key sort exactness bound: keys are elem * n + i < 2^24
 _MAX_EXACT = 1 << 24
@@ -147,6 +153,38 @@ def species_blocks(elem: Array, caps: tp.Sequence[int]) -> SpeciesBlocks:
         p,
     )
     return SpeciesBlocks(inv=inv, pos=pos, ok=ok, caps=caps)
+
+
+def species_blocks_static(
+    elem: np.ndarray, quantum: int = 8
+) -> SpeciesBlocks:
+    """Host-side `species_blocks` for a CONCRETE element array.
+
+    The permutation tables become trace-time constants: no sort, no cumsum,
+    no index gathers at run time — only the two wide-row permutation
+    gathers remain.  Caps are the exact per-species counts (ceil to
+    ``quantum`` rows for tile alignment), so no overflow is possible.
+    """
+    elem = np.asarray(elem).reshape(-1)
+    n = elem.shape[0]
+    smax = int(elem.max(initial=-1))
+    counts = [int((elem == s).sum()) for s in range(smax + 1)]
+    caps = tuple(max(-(-c // quantum) * quantum, quantum) for c in counts)
+    p = int(sum(caps))
+    inv = np.full((p,), n, np.int32)
+    pos = np.full((n,), p, np.int32)
+    off = 0
+    for s, cap in enumerate(caps):
+        rows = np.flatnonzero(elem == s).astype(np.int32)
+        inv[off : off + rows.size] = rows
+        pos[rows] = off + np.arange(rows.size, dtype=np.int32)
+        off += cap
+    return SpeciesBlocks(
+        inv=jnp.asarray(inv),
+        pos=jnp.asarray(pos),
+        ok=jnp.ones((), bool),
+        caps=caps,
+    )
 
 
 def block_rows(x: Array, blocks: SpeciesBlocks) -> Array:
