@@ -67,21 +67,28 @@ def main() -> None:
     cell = jnp.asarray(cell_np)
     pbc = jnp.asarray([True, True, True])
 
-    @jax.jit
-    def step(coords):
-        e, f = energies_and_forces(model, species, coords, cell, pbc)
-        # reduce to a scalar so the timing fetch transfers O(1) bytes but
-        # still forces completion of the whole step (block_until_ready on
-        # the tunneled device can return before execution finishes)
-        return jnp.sum(e) + jnp.sum(f)
-
-    # warmup / compile
-    _ = float(step(coords))
-
     iters = 10
+
+    @jax.jit
+    def raw_chunk(coords):
+        # `iters` full from-scratch evaluations scanned inside ONE program:
+        # a per-call scalar fetch costs a ~30 ms tunnel RTT, which is
+        # measurement-harness latency, not device time (same methodology as
+        # the MD timing below).  The per-iteration perturbation defeats CSE
+        # without changing the neighbor structure.
+        def body(i, acc):
+            c = coords + i * jnp.asarray(1e-6, coords.dtype)
+            e, f = energies_and_forces(model, species, c, cell, pbc)
+            return acc + jnp.sum(e) + jnp.sum(f)
+
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    # warmup / compile (the fetched scalar forces completion of the whole
+    # chunk; block_until_ready on the tunneled device can return early)
+    _ = float(raw_chunk(coords))
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        _ = float(step(coords))
+    _ = float(raw_chunk(coords))
     dt = (time.perf_counter() - t0) / iters
 
     us_per_atom = dt * 1e6 / num_atoms

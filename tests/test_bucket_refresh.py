@@ -184,6 +184,52 @@ def test_select_kernels_interpret_exactness():
     assert float(np.max(np.abs(dsum - dref))) < 1e-6
 
 
+def test_select_kernels_chunk_skip():
+    """Per-bucket occupied-lane bounds: chunks beyond ``nlanes[b]`` are
+    skipped.  With prefix-dense keys (sentinels only past the bound, the
+    invariant both table builders guarantee), the forward must match the
+    unskipped kernel on all occupied-slot rows and the backward must match
+    it exactly everywhere."""
+    g_, c, r = 3, 64, 512  # r/rc = 512/128 -> up to 4 chunks
+    k = r // c
+    rng = np.random.RandomState(13)
+    cand_np = (rng.randn(g_, 3, 32, c) * 20.0).astype(np.float32)
+    cand_np[:, :, 27:] = 0.0
+    cand = jnp.asarray(cand_np.reshape(g_, 96, c))
+    occ = np.array([2, 64, 0], np.int32)  # occupied slots per bucket
+    nlanes = jnp.asarray(occ * k)
+    sec = rng.randint(0, 27, (g_, r)).astype(np.int32)
+    rank = rng.randint(0, c, (g_, r)).astype(np.int32)
+    lane_real = np.arange(r)[None, :] < (occ * k)[:, None]
+    sec = np.where(lane_real, sec, 27)
+    keys = jnp.asarray((sec << 8) | np.where(sec < 27, rank, 0))
+
+    full = jax.jit(lambda v, kk: _bucket_select_fwd(_split3(v), kk))(
+        cand, keys
+    )
+    skip = jax.jit(
+        lambda v, kk, nl: _bucket_select_fwd(_split3(v), kk, nl)
+    )(cand, keys, nlanes)
+    # compare only occupied slots' lanes (rows past the bound are unwritten)
+    m = jnp.asarray(lane_real)[:, None, :]
+    assert float(jnp.max(jnp.abs(jnp.where(m, skip - full, 0.0)))) == 0.0
+
+    gt = jnp.asarray(rng.randn(g_, 3, r).astype(np.float32))
+
+    def bwd(g3, kk, nl):
+        hi, mid, lo = _split3(g3)
+        g16 = jnp.pad(
+            jnp.concatenate([hi, mid, lo], axis=1), ((0, 0), (0, 7), (0, 0))
+        )
+        return _bucket_select_bwd(g16, kk, c, nl)
+
+    d_full = jax.jit(lambda g3, kk: bwd(g3, kk, None))(gt, keys)
+    d_skip = jax.jit(bwd)(gt, keys, nlanes)
+    real = np.asarray(d_full).reshape(g_, 3, 32, c)[:, :, :27]
+    got = np.asarray(d_skip).reshape(g_, 3, 32, c)[:, :, :27]
+    assert float(np.max(np.abs(got - real))) == 0.0
+
+
 def test_bucket_overflow_flags():
     coords, cell, grid, idx, mask, shift, _ = _random_periodic_topology(2)
     a = coords.shape[0]

@@ -60,6 +60,20 @@ def main():
     def fwd(c, k):
         return _bucket_select_fwd(_split3(c), k)
 
+    # realistic prefix-dense occupancy for the chunk-skip variant: water-box
+    # buckets hold ~29 of 64 slots (occupied slots are each bucket's prefix)
+    occ_np = np.clip(rng.poisson(29, (G,)), 0, C).astype(np.int32)
+    lane_real = np.arange(R)[None, :] < (occ_np * K)[:, None]
+    keys_occ = jnp.asarray(
+        np.where(lane_real & (rng.rand(G, R) < 0.9), keys_np, 27 << 8).astype(
+            np.int32
+        )
+    )
+    nlanes = jnp.asarray(occ_np * K)
+
+    def fwd_skip(c, k):
+        return _bucket_select_fwd(_split3(c), k, nlanes)
+
     out = jax.jit(fwd)(cand, keys)
     # reference: joint selection per lane (cand rows are d*32 + s)
     ref = np.zeros((G, 3, R), np.float32)
@@ -71,6 +85,10 @@ def main():
     err = float(jnp.max(jnp.abs(out[:2, :3] - ref[:2])))
     print(f"fwd exactness (2 buckets) max|err| = {err:.3g}", flush=True)
     print(f"fwd bucketdot    {timeit(fwd, cand, keys):7.2f} ms", flush=True)
+    print(
+        f"fwd skip(occ29)  {timeit(fwd_skip, cand, keys_occ):7.2f} ms",
+        flush=True,
+    )
 
     gt = jnp.asarray(rng.randn(G, 3, R).astype(np.float32))
 
@@ -93,6 +111,18 @@ def main():
     derr = float(jnp.max(jnp.abs(dsum - dref)))
     print(f"bwd exactness (2 buckets) max|err| = {derr:.3g}", flush=True)
     print(f"bwd bucketdot    {timeit(bwd, gt, keys):7.2f} ms", flush=True)
+
+    def bwd_skip(g3, k):
+        hi, mid, lo = _split3(g3)
+        g16 = jnp.pad(
+            jnp.concatenate([hi, mid, lo], axis=1), ((0, 0), (0, 7), (0, 0))
+        )
+        return _bucket_select_bwd(g16, k, C, nlanes)
+
+    print(
+        f"bwd skip(occ29)  {timeit(bwd_skip, gt, keys_occ):7.2f} ms",
+        flush=True,
+    )
 
     # baseline: the row gather at the same total row count, and its vjp
     coords = jnp.asarray(rng.randn(A, 3).astype(np.float32))

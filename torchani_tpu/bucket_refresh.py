@@ -21,8 +21,12 @@ matmul instead of a thread-block):
   selection per bucket (a joint one-hot over ``27*C`` candidates is the
   tensor product of a rank one-hot and a section one-hot):
 
-      stage 1 (MXU):  tmp (3*32, K*C) = cand (3*32, C) @ onehot(rank) (C, K*C)
+      stage 1 (MXU):  tmp (3*32, K*C) = cand (3*32, 3C) @ onehot3(rank) (3C, K*C)
       stage 2 (VPU):  out (3, K*C)    = sum_s tmp[d*32+s, :] * (s == o)
+
+  where the 3C contraction axis carries the three bf16 split planes of the
+  f32 candidate values side by side (the f32 accumulator sums the three
+  picks — exact, no post-dot split-plane reduction, 75% MXU utilization).
 
   (sections are zero-padded 27 -> 32 rows so every kernel slab is
   sublane-tile aligned; the sentinel section 27 selects a zero pad row)
@@ -52,6 +56,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from torchani_tpu.annotations import Array
 
@@ -323,136 +328,182 @@ def _pick_nb(g: int, per_bucket_bytes: int, scratch_bytes: int) -> int:
 _DN = (((1,), (0,)), ((), ()))
 
 
-def _fwd_kernel(c, nb, keys_ref, v_ref, out_ref):
+def _fwd_kernel(c, nb, nc_ref, keys_ref, v_ref, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
     def body(b, carry):
-        kk = keys_ref[b, 0]  # (RC,) int32
-        rc = kk.shape[0]
-        rank = kk & 255
-        sec = kk >> 8  # 27 = sentinel -> hits the zero-padded row 27
-        ranks = jax.lax.broadcasted_iota(jnp.int32, (c, rc), 0)
-        sel_r = (ranks == rank[None, :]).astype(jnp.bfloat16)  # (C, RC)
-        # rank contraction on the MXU: one tall LHS of the three bf16 split
-        # planes, each plane a (96, C) block of rows d*32 + s (sections
-        # padded 27 -> 32 so every slab below is sublane-tile aligned —
-        # unaligned 3-row or 27-row slices forced Mosaic relayouts that
-        # dominated the kernel, and a 27-term unrolled FMA body hung its
-        # compiler).  Each row picks ONE candidate, so f32 accumulation of
-        # the split rows is the exact f32 value.
-        tmp = jax.lax.dot_general(
-            v_ref[b], sel_r, _DN, preferred_element_type=jnp.float32
-        )  # (288, RC); rows [hi(96); mid(96); lo(96)]
-        t = tmp[0:96] + tmp[96:192] + tmp[192:288]  # (96, RC) exact
-        # section combine: per coord d, a 32-row aligned masked sublane-sum.
-        # Sentinel lanes (sec == 27) select the zero pad rows -> exact 0.
-        secs = jax.lax.broadcasted_iota(jnp.int32, (32, rc), 0)
-        m32 = (secs == sec[None, :]).astype(jnp.float32)  # (32, RC)
-        res = jnp.concatenate(
-            [
-                jnp.sum(t[32 * d : 32 * d + 32] * m32, axis=0, keepdims=True)
-                for d in range(3)
-            ]
-            + [jnp.zeros((5, rc), jnp.float32)],
-            axis=0,
-        )  # (8, RC)
-        out_ref[b] = res
+        # occupied slots are each bucket's PREFIX (rank-dense assignment in
+        # build_bucket_tables), so lanes >= counts[b]*K are all-sentinel:
+        # whole R chunks beyond the per-bucket bound are skipped (the
+        # untouched output rows belong to unoccupied slots and are never
+        # gathered downstream).  ~55% of slot-lanes are sentinels at
+        # water-box occupancy — this roughly halves both kernels.
+        do_chunk = j < nc_ref[i * nb + b]
+
+        @pl.when(do_chunk)
+        def _():
+            _fwd_chunk(c, b, keys_ref, v_ref, out_ref)
+
         return carry
 
-    # NB buckets per grid step (amortizes per-step sequencing overhead);
-    # fori_loop, not an unrolled python loop — 32x unrolled bodies have
-    # choked the Mosaic compiler before.
     jax.lax.fori_loop(0, nb, body, 0)
 
 
-def _bwd_kernel(c, nb, g16_ref, keys_ref, out_ref):
+def _fwd_chunk(c, b, keys_ref, v_ref, out_ref):
+    kk = keys_ref[b, 0]  # (RC,) int32
+    rc = kk.shape[0]
+    rank = kk & 255
+    sec = kk >> 8  # 27 = sentinel -> hits the zero-padded row 27
+    # selector (3C, RC): the rank one-hot tiled 3x down the contraction
+    # axis, one copy per bf16 split plane
+    ranks = jax.lax.broadcasted_iota(jnp.int32, (3 * c, rc), 0) % c
+    sel_r = (ranks == rank[None, :]).astype(jnp.bfloat16)  # (3C, RC)
+    # rank contraction on the MXU: LHS (96, 3C) holds the three bf16
+    # split planes side by side along the CONTRACTION axis (rows d*32+s;
+    # sections padded 27 -> 32 so every slab below is sublane-tile
+    # aligned — unaligned 3-row or 27-row slices forced Mosaic relayouts
+    # that dominated the kernel, and a 27-term unrolled FMA body hung
+    # its compiler).  Each row picks ONE candidate per split plane and
+    # the f32 accumulator sums the three picks, so the dot output IS the
+    # exact f32 value — no post-dot split-plane sum, and the 3C=192
+    # contraction runs the MXU at 75% utilization instead of C=64's 50%
+    # (fwd kernel 1.76 -> 1.36 ms at water-box shapes,
+    # tools/bucketdot_v2_experiment.py).
+    t = jax.lax.dot_general(
+        v_ref[b], sel_r, _DN, preferred_element_type=jnp.float32
+    )  # (96, RC) exact
+    # section combine: per coord d, a 32-row aligned masked sublane-sum.
+    # Sentinel lanes (sec == 27) select the zero pad rows -> exact 0.
+    secs = jax.lax.broadcasted_iota(jnp.int32, (32, rc), 0)
+    m32 = (secs == sec[None, :]).astype(jnp.float32)  # (32, RC)
+    res = jnp.concatenate(
+        [
+            jnp.sum(t[32 * d : 32 * d + 32] * m32, axis=0, keepdims=True)
+            for d in range(3)
+        ]
+        + [jnp.zeros((5, rc), jnp.float32)],
+        axis=0,
+    )  # (8, RC)
+    out_ref[b] = res
+
+
+def _bwd_kernel(c, nb, nc_ref, g16_ref, keys_ref, out_ref):
+    i = pl.program_id(0)
     r = pl.program_id(1)
 
     def body(b, carry):
-        kk = keys_ref[b, 0]  # (RC,)
-        rc = kk.shape[0]
-        rank = kk & 255
-        sec = kk >> 8
-        ranks = jax.lax.broadcasted_iota(jnp.int32, (rc, c), 1)
-        sel_r = (ranks == rank[:, None]).astype(jnp.bfloat16)  # (RC, C)
-        # one tall (288, RC) LHS: rows p*96 + d*32 + s — per (split, coord)
-        # a 32-row aligned slab of the section-masked cotangent row
-        # (products are exact: bf16 x {0,1}).  Same aligned-slab reasoning
-        # as _fwd_kernel.  Sentinel lanes land in the discarded pad rows
-        # s in [27, 32).
-        secs = jax.lax.broadcasted_iota(jnp.int32, (32, rc), 0)
-        m32 = (secs == sec[None, :]).astype(jnp.bfloat16)  # (32, RC)
-        h = jnp.concatenate(
-            [
-                m32 * g16_ref[b][3 * p + d][None, :]
-                for p in range(3)
-                for d in range(3)
-            ],
-            axis=0,
-        )  # (288, RC)
-        tmp = jax.lax.dot_general(
-            h, sel_r, _DN, preferred_element_type=jnp.float32
-        )  # (288, C) rows (p, d, s)
-        part = tmp[0:96] + tmp[96:192] + tmp[192:288]  # (96, C) exact p-sum
-
-        @pl.when(r == 0)
+        # chunk r == 0 always runs (it must initialize the accumulator; for
+        # an empty bucket its all-sentinel lanes only touch the discarded
+        # pad-section rows); later chunks beyond the per-bucket occupied-
+        # lane bound are all-sentinel and skipped — see _fwd_kernel.
+        @pl.when((r == 0) | (r < nc_ref[i * nb + b]))
         def _():
-            out_ref[b] = part
-
-        @pl.when(r != 0)
-        def _():
-            out_ref[b] += part
+            _bwd_chunk(c, r, b, g16_ref, keys_ref, out_ref)
 
         return carry
 
     jax.lax.fori_loop(0, nb, body, 0)
+
+
+def _bwd_chunk(c, r, b, g16_ref, keys_ref, out_ref):
+    kk = keys_ref[b, 0]  # (RC,)
+    rc = kk.shape[0]
+    rank = kk & 255
+    sec = kk >> 8
+    ranks = jax.lax.broadcasted_iota(jnp.int32, (rc, c), 1)
+    sel_r = (ranks == rank[:, None]).astype(jnp.bfloat16)  # (RC, C)
+    # one tall (288, RC) LHS: rows p*96 + d*32 + s — per (split, coord)
+    # a 32-row aligned slab of the section-masked cotangent row
+    # (products are exact: bf16 x {0,1}).  Same aligned-slab reasoning
+    # as _fwd_kernel.  Sentinel lanes land in the discarded pad rows
+    # s in [27, 32).
+    secs = jax.lax.broadcasted_iota(jnp.int32, (32, rc), 0)
+    m32 = (secs == sec[None, :]).astype(jnp.bfloat16)  # (32, RC)
+    # h via ONE broadcast-multiply + row-major reshape instead of 9
+    # concatenated masked slabs (the concat forced relayout copies;
+    # bwd kernel 3.45 -> 2.37 ms, tools/bucketdot_v2_experiment.py)
+    g9 = g16_ref[b][:9]  # (9, RC) rows (p, d)
+    h = (g9[:, None, :] * m32[None, :, :]).reshape(9 * 32, rc)
+    tmp = jax.lax.dot_general(
+        h, sel_r, _DN, preferred_element_type=jnp.float32
+    )  # (288, C) rows (p, d, s)
+    part = tmp[0:96] + tmp[96:192] + tmp[192:288]  # (96, C) exact p-sum
+
+    @pl.when(r == 0)
+    def _():
+        out_ref[b] = part
+
+    @pl.when(r != 0)
+    def _():
+        out_ref[b] += part
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _bucket_select_fwd(cand16, keys: Array) -> Array:
+def _bucket_select_fwd(
+    cand16, keys: Array, nlanes: tp.Optional[Array] = None
+) -> Array:
     """cand16: 3x (G, 96, C) bf16 split planes of cand with rows d*32 + s
     (sections zero-padded 27 -> 32); keys (G, R) int32 -> (G, 8, R) f32
-    whose rows 0..2 are the exact f32 candidate selection per lane."""
+    whose rows 0..2 are the exact f32 candidate selection per lane.
+    ``nlanes`` (G,) int32: per-bucket occupied-lane count (lanes beyond it
+    are all-sentinel and their R chunks are skipped; their output rows are
+    left unwritten — callers must only read occupied slots' rows)."""
     hi, mid, lo = cand16
     g, _, c = hi.shape
     r = keys.shape[1]
-    # tmp (288, RC) f32 dominates the kernel's VMEM footprint
-    rc = _pick_rc(r, 4 * 288 + 2 * c + 96)
-    nb = _pick_nb(g, rc * (4 + 32 * 4) + 288 * c * 2, 288 * rc * 4)
-    v = jnp.concatenate([hi, mid, lo], axis=1)  # (G, 288, C)
+    # t (96, RC) f32 + sel (3C, RC) bf16 dominate the VMEM footprint
+    rc = _pick_rc(r, 4 * 96 + 2 * 3 * c + 96)
+    nb = _pick_nb(g, rc * (4 + 32 * 4) + 96 * 3 * c * 2, 96 * rc * 4)
+    if nlanes is None:
+        nchunks = jnp.full((g,), r // rc, jnp.int32)
+    else:
+        nchunks = (nlanes + (rc - 1)) // rc
+    v = jnp.concatenate([hi, mid, lo], axis=2)  # (G, 96, 3C)
     return pl.pallas_call(
         partial(_fwd_kernel, c, nb),
         grid=(g // nb, r // rc),
         in_specs=[
+            pl.BlockSpec((g,), lambda i, j: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((nb, 1, rc), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((nb, 288, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((nb, 96, 3 * c), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((nb, 8, rc), lambda i, j: (i, 0, j)),
         out_shape=jax.ShapeDtypeStruct((g, 8, r), jnp.float32),
         interpret=_interpret(),
-    )(keys.reshape(g, 1, r), v)
+    )(nchunks, keys.reshape(g, 1, r), v)
 
 
-def _bucket_select_bwd(g16: Array, keys: Array, c: int) -> Array:
+def _bucket_select_bwd(
+    g16: Array, keys: Array, c: int, nlanes: tp.Optional[Array] = None
+) -> Array:
     """g16 (G, 16, R) bf16 split rows [hi(3); mid(3); lo(3); pad]; keys
     (G, R) -> (G, 96, C) f32 rows d*32 + s = transposed contraction (lane
-    cotangents summed onto candidates; split planes summed in-kernel)."""
+    cotangents summed onto candidates; split planes summed in-kernel).
+    ``nlanes``: see `_bucket_select_fwd` (skipped chunks contribute zero)."""
     g, _, r = g16.shape
     # h (288, RC) bf16 + tmp (288, C) f32 dominate the VMEM footprint
     rc = _pick_rc(r, 2 * 288 + 2 * c + 96)
     nb = _pick_nb(g, rc * (4 + 16 * 2) + 96 * c * 4, 288 * rc * 2 + 288 * c * 4)
+    if nlanes is None:
+        nchunks = jnp.full((g,), r // rc, jnp.int32)
+    else:
+        nchunks = (nlanes + (rc - 1)) // rc
     return pl.pallas_call(
         partial(_bwd_kernel, c, nb),
         grid=(g // nb, r // rc),
         in_specs=[
+            pl.BlockSpec((g,), lambda i, j: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((nb, 16, rc), lambda i, j: (i, 0, j)),
             pl.BlockSpec((nb, 1, rc), lambda i, j: (i, 0, j)),
         ],
         out_specs=pl.BlockSpec((nb, 96, c), lambda i, j: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((g, 96, c), jnp.float32),
         interpret=_interpret(),
-    )(g16, keys.reshape(g, 1, r))
+    )(nchunks, g16, keys.reshape(g, 1, r))
 
 
 # ---------------------------------------------------------------------------
@@ -510,6 +561,13 @@ def _ref_select_bwd(g_rows, keys, c):
     return d_flat[:, :, : 27 * c].reshape(g, 3, 27, c)
 
 
+def _occupied_lanes(atom_of_slot, a, g, c, k):
+    """(G,) int32 occupied-lane count per bucket: occupied slots are each
+    bucket's prefix, so lanes >= count*K are all-sentinel."""
+    occ = (atom_of_slot < a).reshape(g, c).sum(axis=1, dtype=jnp.int32)
+    return occ * k
+
+
 def _fwd_impl(canon, keys, atom_of_slot, slot_of_atom, wrapshift):
     grid, g, c, k = _statics(atom_of_slot, keys, wrapshift)
     a = canon.shape[0]
@@ -521,7 +579,8 @@ def _fwd_impl(canon, keys, atom_of_slot, slot_of_atom, wrapshift):
         cand_a = jnp.pad(
             cand3, ((0, 0), (0, 0), (0, 5), (0, 0))
         ).reshape(g, 96, c)  # rows d*32 + s, zero pad rows
-        out = _bucket_select_fwd(_split3(cand_a), keys)  # (G, 8, C*K)
+        nlanes = _occupied_lanes(atom_of_slot, a, g, c, k)
+        out = _bucket_select_fwd(_split3(cand_a), keys, nlanes)  # (G, 8, C*K)
     sel3 = out[:, :3, :].reshape(g, 3, c, k)
     nbr_slot = sel3.transpose(0, 2, 3, 1).reshape(g * c, k * 3)
     safe = jnp.where(slot_of_atom >= 0, slot_of_atom, 0)
@@ -549,7 +608,10 @@ def _bwd_impl(g_out, keys, atom_of_slot, slot_of_atom, wrapshift):
         g16 = jnp.pad(
             jnp.concatenate([hi, mid, lo], axis=1), ((0, 0), (0, 7), (0, 0))
         )  # (G, 16, C*K) bf16
-        d_cand = _bucket_select_bwd(g16, keys, c)  # (G, 96, C) rows d*32+s
+        nlanes = _occupied_lanes(atom_of_slot, a, g, c, k)
+        d_cand = _bucket_select_bwd(
+            g16, keys, c, nlanes
+        )  # (G, 96, C) rows d*32+s
         d3 = d_cand.reshape(g, 3, 32, c)[:, :, :27]  # (G, 3, 27, C)
     d3 = d3.transpose(0, 2, 3, 1).reshape(gx, gy, gz, 27, c, 3)
     acc = jnp.zeros((gx, gy, gz, c, 3), g_out.dtype)
