@@ -21,10 +21,17 @@ radial species-major ``(S, R)`` and angular pair-major ``(P, Z)``, where ``Z``
 is shift-major/section-minor.
 
 Strategies (registry parity with ``pyaev``/``cuaev``):
-- ``"xla"``: the pure-XLA path in this module (reference ``pyaev`` analog) —
-  also the fallback/test oracle.
-- ``"pallas"``: fused Pallas kernels (reference ``cuaev`` analog), used
-  automatically on TPU when available.
+- ``"xla"``: the pure-XLA path in this module (reference ``pyaev`` analog).
+  This is the production path on TPU: XLA's fusion of the factored
+  radial/angular contractions beats the hand-fused kernel (measured 63 vs
+  327 ms at 10k atoms, docs/performance.md "measured and rejected").
+- ``"pallas"``: fused Pallas angular kernel (reference ``cuaev`` analog).
+  Status: REFERENCE/PARITY LANE ONLY — correct on hardware and validated
+  against the XLA path every bench run (``tools/tpu_smoke.py``), but
+  ``"auto"`` never selects it.  The regime where hand kernels DO win on
+  TPU is overhead-bound exact selection, not bandwidth-bound math — see
+  ``bucket_refresh.py`` (the Verlet refresh kernels, which are Pallas and
+  production-default in MD).
 """
 
 import functools

@@ -59,6 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from torchani_tpu.annotations import Array
+from torchani_tpu.utils import exact_matmul
 
 __all__ = [
     "BucketTables",
@@ -147,7 +148,7 @@ def build_bucket_tables(
     sentinel = _SENTINEL
 
     cell_inv = jnp.linalg.inv(cell)
-    u = coords @ cell_inv  # (A, 3) fractional, unwrapped
+    u = exact_matmul(coords, cell_inv)  # (A, 3) fractional, unwrapped
     fu = jnp.floor(u)
     m = jnp.clip(u - fu, 0.0, 1.0 - 1e-7)
     gdims = jnp.array([gx, gy, gz], jnp.int32)
@@ -189,7 +190,7 @@ def build_bucket_tables(
     idx3_j = jnp.stack(
         [bucket_j // (gy * gz), (bucket_j // gz) % gy, bucket_j % gz], axis=-1
     )
-    w = jnp.round(shift @ cell_inv).astype(jnp.int32)  # (A, K, 3) lattice wrap
+    w = jnp.round(exact_matmul(shift, cell_inv)).astype(jnp.int32)  # (A, K, 3) lattice wrap
     d3 = jnp.remainder(fm_j + w - fm[:, None, :] + 1, 3) - 1  # in {-1, 0, 1}
     off3 = idx3_j + gdims * d3 - idx3[:, None, :]  # (A, K, 3)
     off_ok = jnp.all((off3 >= -1) & (off3 <= 1), axis=-1)
@@ -209,7 +210,7 @@ def build_bucket_tables(
         g, c * k
     )
 
-    wrap_offset = (fu @ cell).astype(coords.dtype)
+    wrap_offset = exact_matmul(fu, cell).astype(coords.dtype)
     tables = BucketTables(
         keys=keys,
         atom_of_slot=atom_of_slot,

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from torchani_tpu.annotations import Array
 from torchani_tpu.tuples import VibAnalysis
 from torchani_tpu.units import sqrt_mhessian2invcm, mhessian2fconst
-from torchani_tpu.utils import get_atomic_masses
+from torchani_tpu.utils import exact_matmul, get_atomic_masses
 
 __all__ = [
     "energies",
@@ -266,7 +266,7 @@ def stress_scaling(
 
     def energy(eps):
         scaling = jnp.eye(3, dtype=coords.dtype) + eps
-        diff = neighbors.diff @ scaling
+        diff = exact_matmul(neighbors.diff, scaling)
         nb = neighbors.replace(
             diff=diff,
             dist=jnp.sqrt(
@@ -275,7 +275,7 @@ def stress_scaling(
         )
         return jnp.sum(
             model.compute_from_neighbors(
-                elem_idxs, coords @ scaling, nb
+                elem_idxs, exact_matmul(coords, scaling), nb
             ).energies
         )
 
@@ -316,7 +316,12 @@ def stress_fdotr(
     de_ddiff = jax.grad(energy)(neighbors.diff)
     # each lane's partial derivative covers only that lane's contribution, so
     # no double-count correction is needed for the full (two-lane) table
-    virial = jnp.einsum("...x,...y->xy", de_ddiff, neighbors.diff)
+    virial = jnp.einsum(
+        "...x,...y->xy",
+        de_ddiff,
+        neighbors.diff,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     if cell is not None:
         volume = jnp.abs(jnp.linalg.det(cell))
     else:

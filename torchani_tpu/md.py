@@ -34,7 +34,7 @@ from torchani_tpu.bucket_refresh_packed import (
     packed_nbr_pos,
 )
 from torchani_tpu.neighbors import Neighbors, cell_list, _static_grid_shape
-from torchani_tpu.utils import get_atomic_masses
+from torchani_tpu.utils import exact_matmul, get_atomic_masses
 
 __all__ = [
     "CachedSinglePoint",
@@ -744,7 +744,7 @@ class MolecularDynamics:
         # partner-lane map for the scatter-free force backward: hash each
         # lane's integer image shift so partners are matched exactly
         if self.cell is not None:
-            frac = jnp.round(shift @ jnp.linalg.inv(self.cell))
+            frac = jnp.round(exact_matmul(shift, jnp.linalg.inv(self.cell)))
             n = jnp.clip(frac, -2, 2).astype(jnp.int32)
         else:
             n = jnp.zeros(shift.shape, jnp.int32)

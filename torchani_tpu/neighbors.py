@@ -33,7 +33,7 @@ import numpy as np
 from flax import struct
 
 from torchani_tpu.annotations import Array
-from torchani_tpu.utils import map_to_central
+from torchani_tpu.utils import exact_matmul, map_to_central
 
 __all__ = [
     "Neighbors",
@@ -380,7 +380,7 @@ def _all_pairs_single(
     coords = map_to_central(coords, cell, pbc)
     s = len(shift_set)
     shifts_frac = jnp.asarray(shift_set, dtype=coords.dtype)  # (S, 3)
-    shifts_cart = shifts_frac @ cell  # (S, 3)
+    shifts_cart = exact_matmul(shifts_frac, cell)  # (S, 3)
     scoords = jax.lax.stop_gradient(coords)
     scarts = jax.lax.stop_gradient(shifts_cart)
     # diff[i, j, s] = x_j + shift_s - x_i
@@ -696,7 +696,7 @@ def cell_list(
     real = elem_idxs >= 0
     spos = jax.lax.stop_gradient(origin_coords)
     scell = jax.lax.stop_gradient(used_cell)
-    frac = spos @ jnp.linalg.inv(scell)
+    frac = exact_matmul(spos, jnp.linalg.inv(scell))
     if periodic:
         frac = frac - jnp.floor(frac)
     frac = jnp.clip(frac, 0.0, 1.0 - 1e-7)
@@ -760,7 +760,9 @@ def cell_list(
     if periodic:
         # image position = pos + wrap @ cell (one shift per (bucket, section))
         shift_cart_b = (
-            jnp.asarray(wrap_np.reshape(-1, 3), dtype=coords.dtype) @ scell
+            exact_matmul(
+                jnp.asarray(wrap_np.reshape(-1, 3), dtype=coords.dtype), scell
+            )
         ).reshape(g, 27, 1, 3)
         cand_pos_b = cand_pos_b + shift_cart_b
     # distances: every slot of bucket g vs its 27xB candidates
@@ -1045,7 +1047,7 @@ def parse_neighborlist(neighborlist: NeighborlistArg):
 def coords_to_fractional(coords: Array, cell: Array) -> Array:
     """Wrap cartesian coords into fractional cell coords in [0, 1)
     (reference ``neighbors.py:561-565``)."""
-    return jnp.remainder(coords @ jnp.linalg.inv(cell), 1.0)
+    return jnp.remainder(exact_matmul(coords, jnp.linalg.inv(cell)), 1.0)
 
 
 def setup_grid(

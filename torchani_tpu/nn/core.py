@@ -173,7 +173,10 @@ class AtomicNetwork(struct.PyTreeNode):
     def __call__(self, features: Array) -> Array:
         act = parse_activation(self.activation)
         for li, w in enumerate(self.weights):
-            features = features @ w
+            # strict-f32: TPU's default f32 matmul is a single bf16 pass
+            features = jnp.dot(
+                features, w, precision=jax.lax.Precision.HIGHEST
+            )
             if self.biases is not None:
                 features = features + self.biases[li]
             if li != len(self.weights) - 1:

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from torchani_tpu.annotations import Array
+from torchani_tpu.utils import exact_matmul
 
 __all__ = [
     "radial_distribution",
@@ -32,9 +33,9 @@ def _min_image_dist2(coords: Array, cell: tp.Optional[Array]) -> Array:
     # for cells whose skew keeps the Wigner-Seitz cell inside +-1 images —
     # true for every MD cell this library builds)
     inv = jnp.linalg.inv(cell)
-    frac = diff @ inv
+    frac = exact_matmul(diff, inv)
     frac = frac - jnp.round(frac)
-    base = frac @ cell
+    base = exact_matmul(frac, cell)
     shifts = jnp.asarray(
         [
             [i, j, k]
@@ -43,7 +44,8 @@ def _min_image_dist2(coords: Array, cell: tp.Optional[Array]) -> Array:
             for k in (-1, 0, 1)
         ],
         base.dtype,
-    ) @ cell  # (27, 3)
+    )
+    shifts = exact_matmul(shifts, cell)  # (27, 3)
     cand = base[:, :, None, :] + shifts[None, None]  # (A, A, 27, 3)
     return jnp.min(jnp.sum(cand * cand, axis=-1), axis=-1)
 

@@ -333,6 +333,12 @@ def make_solvated_system(
 
     if solute_pdb is not None:
         sz, sc, _ = read_pdb(solute_pdb)
+        extent = float((sc.max(axis=0) - sc.min(axis=0)).max())
+        if box < extent + 2.0 * clash:
+            raise ValueError(
+                f"box {box} A too small for solute extent {extent:.1f} A "
+                f"(+ {clash} A clash margin each side)"
+            )
         sc = sc - sc.mean(axis=0) + box / 2.0
         # minimum-image clash check, chunked over water atoms
         flat = waters_xyz.reshape(-1, 3)

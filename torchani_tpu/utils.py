@@ -26,6 +26,7 @@ __all__ = [
     "pad_atomic_properties",
     "strip_redundant_padding",
     "map_to_central",
+    "exact_matmul",
     "species_to_formula",
     "sort_by_atomic_num",
     "symbols_to_atomic_numbers",
@@ -139,6 +140,20 @@ def strip_redundant_padding(
     return properties
 
 
+def exact_matmul(x: Array, m: Array) -> Array:
+    """Matmul pinned to strict-f32 (``Precision.HIGHEST``).
+
+    TPU's DEFAULT f32 matmul rounds both inputs to bf16 (one MXU pass,
+    ~0.4% relative).  For the tiny ``(N, 3) @ (3, 3)`` cell / strain
+    transforms that carry atom POSITIONS this is ~0.05 A of silent error
+    through a 12 A cell — found as a 0.017 Ha energy / 24% force
+    chip-vs-CPU discrepancy in the on-chip PBC parity lane
+    (``tools/tpu_smoke.py``).  Every position-carrying matmul in the
+    package must go through this helper (or pin precision itself).
+    """
+    return jnp.matmul(x, m, precision=jax.lax.Precision.HIGHEST)
+
+
 def map_to_central(coordinates: Array, cell: Array, pbc: Array) -> Array:
     """Map atoms outside the unit cell into the central cell using PBC.
 
@@ -146,9 +161,9 @@ def map_to_central(coordinates: Array, cell: Array, pbc: Array) -> Array:
     [0, 1) along periodic axes only, convert back to cartesian.
     """
     inv_cell = jnp.linalg.inv(cell)
-    frac = coordinates @ inv_cell
+    frac = exact_matmul(coordinates, inv_cell)
     frac = frac - jnp.floor(frac) * pbc
-    return frac @ cell
+    return exact_matmul(frac, cell)
 
 
 def species_to_formula(species: np.ndarray) -> tp.List[str]:
