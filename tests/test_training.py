@@ -60,6 +60,48 @@ def test_force_training_step(setup):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_angular_split_step_matches_unsplit():
+    """`tune_angular_split` must leave the training loss numerically
+    unchanged (the count-class split is a pure execution-layout choice),
+    for both energy-only and force training."""
+    from torchani_tpu.training import tune_angular_split
+    from torchani_tpu.training.loop import _model_with_angular_capacity
+
+    model = tt.simple_ani(("H", "C", "N", "O"), ensemble_size=1)
+    model = model.replace(
+        energy_shifter=model.energy_shifter.replace(enabled=False)
+    )
+    # enough rows that a dense class under the row count exists
+    species, coords = make_molecs(48, 12, seed=5)
+    batch = {
+        "species": jnp.asarray(species),
+        "coordinates": jnp.asarray(coords),
+        "energies": jnp.asarray(
+            np.random.RandomState(2).randn(48).astype(np.float32) * 0.01
+        ),
+        "forces": jnp.zeros((48, 12, 3), jnp.float32),
+    }
+    base = _model_with_angular_capacity(model, 12)
+    host = {
+        "species": np.asarray(batch["species"]),
+        "coordinates": np.asarray(batch["coordinates"]),
+    }
+    split = tune_angular_split(base, [host], margin=2.0)
+    aevc = split.potentials["nnp"].aev_computer
+    assert aevc.angular_split is not None, "split should engage here"
+
+    for force_training in (False, True):
+        losses = []
+        for m in (base, split):
+            init_fn, step_fn = make_train_step(
+                m, optax.adam(1e-3), force_training=force_training
+            )
+            state = init_fn()
+            _, metrics = jax.jit(step_fn)(state, batch)
+            losses.append(float(metrics["loss"]))
+        np.testing.assert_allclose(losses[0], losses[1], rtol=2e-6)
+
+
 def test_checkpoint_roundtrip(setup, tmp_path):
     model, batch = setup
     init_fn, step_fn = make_train_step(model, optax.adam(1e-3))

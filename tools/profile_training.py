@@ -82,8 +82,11 @@ def main():
     state = init_fn()
     reps = 3
 
+    # batch rides as a jit ARGUMENT (traced species), matching real epochs
+    # and tools/training_benchmark.py — closing over it would let
+    # trace-time constant folding specialize paths no real run gets
     @jax.jit
-    def chunk(state):
+    def chunk(state, batch):
         def body(st, _):
             st, metrics = step_fn(st, batch)
             return st, metrics["loss"]
@@ -91,14 +94,14 @@ def main():
         return jax.lax.scan(body, state, None, length=reps)
 
     print("compiling...", flush=True)
-    st2, losses = chunk(state)
+    st2, losses = chunk(state, batch)
     _ = float(losses[-1])
     print("compiled; tracing...", flush=True)
 
     mode = "e" if energy_only else "ef"
     logdir = f"/tmp/trainprof_{mode}"
     with jax.profiler.trace(logdir):
-        st2, losses = chunk(state)
+        st2, losses = chunk(state, batch)
         _ = float(losses[-1])
 
     print("parsing trace...", flush=True)

@@ -34,6 +34,11 @@ def main():
         help="disable the species-blocked NN path (tune_species_partition)",
     )
     parser.add_argument(
+        "--angular-split",
+        action="store_true",
+        help="enable the count-class angular split (tune_angular_split)",
+    )
+    parser.add_argument(
         "--realistic",
         action="store_true",
         help="chain-bonded (GDB-like) molecules + density-bucketed "
@@ -92,6 +97,16 @@ def main():
             from torchani_tpu.training import tune_species_partition
 
             m = tune_species_partition(m, [batch])
+        if args.angular_split:
+            from torchani_tpu.training import tune_angular_split
+
+            host_batch = {
+                "species": np.asarray(batch["species"]),
+                "coordinates": np.asarray(batch["coordinates"]),
+            }
+            m = tune_angular_split(m, [host_batch])
+            nnp = m.potentials["nnp"]
+            print(f"angular_split: {nnp.aev_computer.angular_split}")
         _, step = make_train_step(
             m, optax.adamw(1e-3), force_training=args.force_training
         )

@@ -13,6 +13,7 @@ from torchani_tpu.training.loop import (
     make_bucketed_train_step,
     make_train_step,
     tune_angular_capacity,
+    tune_angular_split,
     tune_species_partition,
 )
 
@@ -24,6 +25,7 @@ __all__ = [
     "make_train_step",
     "make_bucketed_train_step",
     "tune_angular_capacity",
+    "tune_angular_split",
     "tune_species_partition",
     "save_checkpoint",
     "load_checkpoint",

@@ -26,6 +26,7 @@ __all__ = [
     "make_train_step",
     "make_bucketed_train_step",
     "tune_angular_capacity",
+    "tune_angular_split",
     "tune_species_partition",
 ]
 
@@ -198,6 +199,79 @@ def tune_angular_capacity(
     pots = dict(model.potentials)
     pots["nnp"] = nnp.replace(
         aev_computer=aevc.replace(angular_capacity=cap)
+    )
+    return model.replace(potentials=pots)
+
+
+def tune_angular_split(
+    model: ANI,
+    batches: tp.Iterable[tp.Mapping[str, tp.Any]],
+    margin: float = 1.3,
+    max_batches: int = 8,
+) -> ANI:
+    """Enable the count-class angular split for training batches.
+
+    The MD driver already splits angular rows into a dense class (full
+    capacity) and a sparse class (``k_small`` lanes) because pair work
+    scales ~capacity^2 and most atoms sit well below the worst case
+    (``md.MolecularDynamics._ensure_angular_split``).  Training batches
+    have the same skew — the batch capacity is the bucket's worst
+    molecule — so this measures per-atom-row angular neighbor counts over
+    sample batches (host-side numpy) and applies the same cost-minimizing
+    ``(k_small, n_dense)`` policy with a composition-drift margin.
+    Requires an explicit ``angular_capacity`` (the bucketed pipeline sets
+    one per capacity class).  A future batch exceeding the dense-row
+    budget NaN-poisons the loss (the repo-wide overflow convention), so a
+    drifting composition surfaces loudly — re-tune with a larger margin.
+    Returns a model copy.
+    """
+    import numpy as np
+
+    nnp = model.potentials["nnp"]
+    aevc = nnp.aev_computer
+    cap = aevc.angular_capacity
+    if aevc.angular_split is not None or cap is None or cap < 10:
+        return model
+    r_ang = float(aevc.angular.cutoff)
+    per_batch_counts = []
+    rows = 0
+    for bi, batch in enumerate(batches):
+        if bi >= max_batches:
+            break
+        species = np.asarray(batch["species"])
+        coords = np.asarray(batch["coordinates"])
+        nmol, matoms = species.shape
+        counts = np.zeros(nmol * matoms, np.int64)
+        for m in range(nmol):
+            real = species[m] >= 0
+            n = int(real.sum())
+            if n < 2:
+                continue
+            pos = coords[m][real][:n]
+            d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+            np.fill_diagonal(d, np.inf)
+            counts[m * matoms : m * matoms + n] = (d < r_ang).sum(axis=1)
+        per_batch_counts.append(np.minimum(counts, cap))
+        rows = max(rows, nmol * matoms)
+    if not per_batch_counts or rows == 0:
+        return model
+    kp = lambda k_: k_ * max(k_ - 1, 0) / 2.0  # noqa: E731
+    base = rows * kp(cap)
+    best = None
+    for k_small in range(6, cap - 1, 2):
+        over = max(int((c > k_small).sum()) for c in per_batch_counts)
+        n_dense = int(-(-int(over * margin + 64) // 64) * 64)
+        if n_dense >= rows:
+            continue
+        cost = n_dense * kp(cap) + (rows - n_dense) * kp(k_small)
+        if best is None or cost < best[0]:
+            best = (cost, k_small, n_dense)
+    if best is None or best[0] > 0.85 * base:
+        return model  # <15% estimated saving: not worth the per-step sort
+    _, k_small, n_dense = best
+    pots = dict(model.potentials)
+    pots["nnp"] = nnp.replace(
+        aev_computer=aevc.replace(angular_split=(k_small, n_dense))
     )
     return model.replace(potentials=pots)
 
