@@ -224,6 +224,12 @@ def tune_angular_split(
     budget NaN-poisons the loss (the repo-wide overflow convention), so a
     drifting composition surfaces loudly — re-tune with a larger margin.
     Returns a model copy.
+
+    Use for ENERGY-ONLY training steps: measured (v5e, batch 2560, Ka=12,
+    50-deep scans) e-only 10.4 -> 8.0 ms/step (+30%), but force training
+    29.7 -> 43.0 ms/step — the count-sort permutation pair rides through
+    the force grad-of-grad and costs more than the split saves.  Do not
+    combine with ``force_training=True``.
     """
     import numpy as np
 
