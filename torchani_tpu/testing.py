@@ -335,9 +335,16 @@ def make_solvated_system(
         sz, sc, _ = read_pdb(solute_pdb)
         extent = float((sc.max(axis=0) - sc.min(axis=0)).max())
         if box < extent + 2.0 * clash:
-            raise ValueError(
-                f"box {box} A too small for solute extent {extent:.1f} A "
-                f"(+ {clash} A clash margin each side)"
+            import warnings
+
+            # a solute bigger than the box overlaps its own periodic image;
+            # tolerated for composition tests, but MD on such a box is
+            # physically broken and extreme density can explode neighbor
+            # capacities (a box-14 1hz5 run hung in compilation)
+            warnings.warn(
+                f"box {box} A smaller than solute extent {extent:.1f} A "
+                f"(+ {clash} A clash margin): periodic self-overlap",
+                stacklevel=2,
             )
         sc = sc - sc.mean(axis=0) + box / 2.0
         # minimum-image clash check, chunked over water atoms
