@@ -230,6 +230,54 @@ def test_select_kernels_chunk_skip():
     assert float(np.max(np.abs(got - real))) == 0.0
 
 
+def test_bucket_lane_values_matches_gather():
+    """`bucket_lane_values` (the runtime per-atom value lane-select) must
+    reproduce values[idx] on real topology, and its custom vjp must match
+    the gather's gradient."""
+    from torchani_tpu.bucket_refresh import bucket_lane_values
+
+    coords, cell, grid, idx, mask, shift, _ = _random_periodic_topology(7)
+    a = coords.shape[0]
+    ws = jnp.asarray(make_wrapshift(grid, np.asarray(cell)))
+    tables, overflow = build_bucket_tables(
+        coords, idx, mask, shift, jnp.ones((a,), bool), cell,
+        grid_shape=grid, c=16, wrapshift=ws,
+    )
+    assert not bool(overflow)
+    rng = np.random.RandomState(3)
+    vals = jnp.asarray(rng.randn(a, 2).astype(np.float32))
+
+    def sel(v):
+        out = bucket_lane_values(
+            v, tables.keys, tables.atom_of_slot, tables.slot_of_atom,
+            tables.wrapshift,
+        )
+        return jnp.where(mask[..., None], out, 0.0)
+
+    got = jax.jit(sel)(vals)
+    ref = jnp.where(
+        mask[..., None], jnp.take(vals, jnp.where(mask, idx, 0), axis=0), 0.0
+    )
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-6
+
+    w = jnp.asarray(rng.randn(*got.shape).astype(np.float32))
+    g_got = jax.jit(jax.grad(lambda v: jnp.sum(w * sel(v))))(vals)
+    g_ref = jax.jit(
+        jax.grad(
+            lambda v: jnp.sum(
+                w
+                * jnp.where(
+                    mask[..., None],
+                    jnp.take(v, jnp.where(mask, idx, 0), axis=0),
+                    0.0,
+                )
+            )
+        )
+    )(vals)
+    scale = float(jnp.max(jnp.abs(g_ref))) + 1e-9
+    assert float(jnp.max(jnp.abs(g_got - g_ref))) / scale < 1e-5
+
+
 def test_bucket_overflow_flags():
     coords, cell, grid, idx, mask, shift, _ = _random_periodic_topology(2)
     a = coords.shape[0]

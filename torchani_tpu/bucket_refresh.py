@@ -65,6 +65,8 @@ __all__ = [
     "BucketTables",
     "build_bucket_tables",
     "bucket_nbr_pos",
+    "bucket_lane_values",
+    "select_lane_values",
     "make_wrapshift",
     "tables_from_cell_aux",
 ]
@@ -505,6 +507,273 @@ def _bucket_select_bwd(
         out_shape=jax.ShapeDtypeStruct((g, 96, c), jnp.float32),
         interpret=_interpret(),
     )(nchunks, g16, keys.reshape(g, 1, r))
+
+
+# ---------------------------------------------------------------------------
+# P-channel per-lane VALUE selection (runtime per-atom scalars)
+# ---------------------------------------------------------------------------
+#
+# The same factored (rank x section) selection, generalized from 3 position
+# channels to P arbitrary value channels — the scatter-free lane-select for
+# RUNTIME per-atom quantities that cannot ride a rebuild-time payload fold
+# (D3 coordination numbers, ANIq charges).  A per-lane values[idx] gather is
+# payload-1 (the slowest gather class, ~20 ms fwd at (9775, 370) solvated-
+# protein lanes) and its backward is a scatter (~27 ms); the kernels below
+# run at the refresh kernels' ~1 ms scale.  No wrapshift: values carry no
+# positional image offset.
+
+
+def _fwd_kernel_vals(c, p, nb, nc_ref, keys_ref, v_ref, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    outr = max(8, -(-p // 8) * 8)
+
+    def body(b, carry):
+        @pl.when(j < nc_ref[i * nb + b])
+        def _():
+            kk = keys_ref[b, 0]
+            rc = kk.shape[0]
+            rank = kk & 255
+            sec = kk >> 8
+            ranks = jax.lax.broadcasted_iota(jnp.int32, (3 * c, rc), 0) % c
+            sel = (ranks == rank[None, :]).astype(jnp.bfloat16)  # (3C, RC)
+            t = jax.lax.dot_general(
+                v_ref[b], sel, _DN, preferred_element_type=jnp.float32
+            )  # (32p, RC), rows d*32 + s, exact (split planes on contraction)
+            secs = jax.lax.broadcasted_iota(jnp.int32, (32, rc), 0)
+            m32 = (secs == sec[None, :]).astype(jnp.float32)
+            res = jnp.concatenate(
+                [
+                    jnp.sum(
+                        t[32 * d : 32 * d + 32] * m32, axis=0, keepdims=True
+                    )
+                    for d in range(p)
+                ]
+                + [jnp.zeros((outr - p, rc), jnp.float32)],
+                axis=0,
+            )
+            out_ref[b] = res
+
+        return carry
+
+    jax.lax.fori_loop(0, nb, body, 0)
+
+
+def _bwd_kernel_vals(c, p, nb, nc_ref, g_ref, keys_ref, out_ref):
+    i = pl.program_id(0)
+    r = pl.program_id(1)
+
+    def body(b, carry):
+        @pl.when((r == 0) | (r < nc_ref[i * nb + b]))
+        def _():
+            kk = keys_ref[b, 0]
+            rc = kk.shape[0]
+            rank = kk & 255
+            sec = kk >> 8
+            ranks = jax.lax.broadcasted_iota(jnp.int32, (rc, c), 1)
+            sel_r = (ranks == rank[:, None]).astype(jnp.bfloat16)  # (RC, C)
+            secs = jax.lax.broadcasted_iota(jnp.int32, (32, rc), 0)
+            m32 = (secs == sec[None, :]).astype(jnp.bfloat16)
+            g3p = g_ref[b][: 3 * p]  # (3p, RC) rows (split q, channel d)
+            h = (g3p[:, None, :] * m32[None, :, :]).reshape(3 * p * 32, rc)
+            tmp = jax.lax.dot_general(
+                h, sel_r, _DN, preferred_element_type=jnp.float32
+            )  # (3p*32, C) rows (q, d, s)
+            part = (
+                tmp[0 : 32 * p]
+                + tmp[32 * p : 64 * p]
+                + tmp[64 * p : 96 * p]
+            )  # (32p, C) exact split sum
+
+            @pl.when(r == 0)
+            def _():
+                out_ref[b] = part
+
+            @pl.when(r != 0)
+            def _():
+                out_ref[b] += part
+
+        return carry
+
+    jax.lax.fori_loop(0, nb, body, 0)
+
+
+def _vals_select_fwd(v16, keys, nlanes, p):
+    """v16: 3x (G, 32p, C) bf16 split planes, rows d*32 + s (sections
+    zero-padded); -> (G, ceil8(p), R) rows 0..p-1 exact."""
+    hi, mid, lo = v16
+    g, _, c = hi.shape
+    r = keys.shape[1]
+    outr = max(8, -(-p // 8) * 8)
+    rc = _pick_rc(r, 4 * 32 * p + 2 * 3 * c + 96)
+    nb = _pick_nb(
+        g, rc * (4 + 32 * 4) + 32 * p * 3 * c * 2, 32 * p * rc * 4
+    )
+    nchunks = (nlanes + (rc - 1)) // rc
+    v = jnp.concatenate([hi, mid, lo], axis=2)  # (G, 32p, 3C)
+    return pl.pallas_call(
+        partial(_fwd_kernel_vals, c, p, nb),
+        grid=(g // nb, r // rc),
+        in_specs=[
+            pl.BlockSpec((g,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nb, 1, rc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((nb, 32 * p, 3 * c), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nb, outr, rc), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((g, outr, r), jnp.float32),
+        interpret=_interpret(),
+    )(nchunks, keys.reshape(g, 1, r), v)
+
+
+def _vals_select_bwd(g16, keys, c, nlanes, p):
+    """g16 (G, ceil8(3p), R) bf16 rows [hi(p); mid(p); lo(p); pad]; ->
+    (G, 32p, C) rows d*32 + s."""
+    g, _, r = g16.shape
+    gr = g16.shape[1]
+    rc = _pick_rc(r, 2 * 3 * p * 32 + 2 * c + 96)
+    nb = _pick_nb(
+        g,
+        rc * (4 + gr * 2) + 32 * p * c * 4,
+        3 * p * 32 * rc * 2 + 3 * p * 32 * c * 4,
+    )
+    nchunks = (nlanes + (rc - 1)) // rc
+    return pl.pallas_call(
+        partial(_bwd_kernel_vals, c, p, nb),
+        grid=(g // nb, r // rc),
+        in_specs=[
+            pl.BlockSpec((g,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nb, gr, rc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((nb, 1, rc), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((nb, 32 * p, c), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, 32 * p, c), jnp.float32),
+        interpret=_interpret(),
+    )(nchunks, g16, keys.reshape(g, 1, r))
+
+
+def _vals_fwd_impl(values, keys, atom_of_slot, slot_of_atom, wrapshift):
+    grid, g, c, k = _statics(atom_of_slot, keys, wrapshift)
+    gx, gy, gz = grid
+    a, p = values.shape
+    vals_pad = jnp.concatenate([values, jnp.zeros((1, p), values.dtype)])
+    valsb = jnp.take(vals_pad, jnp.minimum(atom_of_slot, a), axis=0)
+    vals3 = valsb.reshape(gx, gy, gz, c, p)
+    sections = [
+        jnp.roll(vals3, shift=(-ox, -oy, -oz), axis=(0, 1, 2))
+        for ox, oy, oz in _SECTION_OFFSETS
+    ]
+    cand = jnp.stack(sections, axis=3)  # (gx, gy, gz, 27, C, P)
+    candp = cand.reshape(g, 27, c, p).transpose(0, 3, 1, 2)  # (G, P, 27, C)
+    if _interpret():
+        idx = (keys >> 8) * c + (keys & 255)
+        flat = jnp.pad(
+            candp.reshape(g, p, 27 * c), ((0, 0), (0, 0), (0, c))
+        )
+        sel = jnp.take_along_axis(
+            flat, jnp.broadcast_to(idx[:, None, :], (g, p, c * k)), axis=2
+        )  # (G, P, R)
+    else:
+        vals_a = jnp.pad(
+            candp, ((0, 0), (0, 0), (0, 5), (0, 0))
+        ).reshape(g, 32 * p, c)
+        nlanes = _occupied_lanes(atom_of_slot, a, g, c, k)
+        out = _vals_select_fwd(_split3(vals_a), keys, nlanes, p)
+        sel = out[:, :p, :]  # (G, P, R)
+    per_slot = sel.reshape(g, p, c, k).transpose(0, 2, 3, 1).reshape(
+        g * c, k * p
+    )
+    safe = jnp.where(slot_of_atom >= 0, slot_of_atom, 0)
+    lane = jnp.take(per_slot, safe, axis=0).reshape(a, k, p)
+    return jnp.where((slot_of_atom >= 0)[:, None, None], lane, 0.0)
+
+
+def _vals_bwd_impl(g_out, keys, atom_of_slot, slot_of_atom, wrapshift):
+    grid, g, c, k = _statics(atom_of_slot, keys, wrapshift)
+    gx, gy, gz = grid
+    a, _, p = g_out.shape
+    g_pad = jnp.concatenate(
+        [g_out.reshape(a, k * p), jnp.zeros((1, k * p), g_out.dtype)]
+    )
+    g_slot = jnp.take(g_pad, jnp.minimum(atom_of_slot, a), axis=0)
+    g_rows = (
+        g_slot.reshape(g, c, k, p).transpose(0, 3, 1, 2).reshape(g, p, c * k)
+    )
+    if _interpret():
+        idx = (keys >> 8) * c + (keys & 255)
+        d_flat = jnp.zeros((g, p, 27 * c + c), g_out.dtype)
+        d_flat = d_flat.at[
+            jnp.arange(g)[:, None, None],
+            jnp.arange(p)[None, :, None],
+            idx[:, None, :],
+        ].add(g_rows)
+        d3 = d_flat[:, :, : 27 * c].reshape(g, p, 27, c)
+    else:
+        hi, mid, lo = _split3(g_rows)
+        gr = max(8, -(-3 * p // 8) * 8)
+        g16 = jnp.pad(
+            jnp.concatenate([hi, mid, lo], axis=1),
+            ((0, 0), (0, gr - 3 * p), (0, 0)),
+        )
+        nlanes = _occupied_lanes(atom_of_slot, a, g, c, k)
+        d_cand = _vals_select_bwd(g16, keys, c, nlanes, p)  # (G, 32p, C)
+        d3 = d_cand.reshape(g, p, 32, c)[:, :, :27]  # (G, P, 27, C)
+    d3 = d3.transpose(0, 2, 3, 1).reshape(gx, gy, gz, 27, c, p)
+    acc = jnp.zeros((gx, gy, gz, c, p), g_out.dtype)
+    for oi, (ox, oy, oz) in enumerate(_SECTION_OFFSETS):
+        acc = acc + jnp.roll(
+            d3[:, :, :, oi], shift=(ox, oy, oz), axis=(0, 1, 2)
+        )
+    d_valsb = acc.reshape(g * c, p)
+    d_pad = jnp.concatenate([d_valsb, jnp.zeros((1, p), g_out.dtype)])
+    safe = jnp.where(slot_of_atom >= 0, slot_of_atom, g * c)
+    return jnp.take(d_pad, safe, axis=0)
+
+
+@jax.custom_vjp
+def bucket_lane_values(values, keys, atom_of_slot, slot_of_atom, wrapshift):
+    """Exact per-lane selection of runtime per-atom values: (A, P) ->
+    (A, K, P) with out[i, k] = values[idx[i, k]], as factored one-hot MXU
+    contractions; backward is the transposed contraction (no scatter).
+    Masked/sentinel lanes return 0; callers mask anyway."""
+    return _vals_fwd_impl(values, keys, atom_of_slot, slot_of_atom, wrapshift)
+
+
+def _vals_vjp_fwd(values, keys, atom_of_slot, slot_of_atom, wrapshift):
+    out = _vals_fwd_impl(values, keys, atom_of_slot, slot_of_atom, wrapshift)
+    return out, (keys, atom_of_slot, slot_of_atom, wrapshift)
+
+
+def _vals_vjp_bwd(res, g_out):
+    keys, atom_of_slot, slot_of_atom, wrapshift = res
+    d_values = _vals_bwd_impl(
+        g_out, keys, atom_of_slot, slot_of_atom, wrapshift
+    )
+    return d_values, None, None, None, None
+
+
+bucket_lane_values.defvjp(_vals_vjp_fwd, _vals_vjp_bwd)
+
+
+def select_lane_values(values: Array, neighbors) -> Array:
+    """values[neighbors.idx] for runtime per-atom values, scatter-free when
+    the table carries bucket selection tables (``Neighbors.select_tables``,
+    attached by the MD driver); plain gather otherwise.
+
+    ``values``: (A,) or (A, P).  Returns (A, K) or (A, K, P).
+    """
+    tables = getattr(neighbors, "select_tables", None)
+    if tables is None:
+        return jnp.take(values, neighbors.idx, axis=0)
+    squeeze = values.ndim == 1
+    v = values[:, None] if squeeze else values
+    out = bucket_lane_values(
+        v,
+        tables.keys,
+        tables.atom_of_slot,
+        tables.slot_of_atom,
+        tables.wrapshift,
+    )
+    return out[..., 0] if squeeze else out
 
 
 # ---------------------------------------------------------------------------

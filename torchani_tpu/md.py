@@ -266,6 +266,18 @@ def _with_nn_precision(model, precision: str):
     return model.replace(potentials=pots)
 
 
+def _batch1(nb: Neighbors) -> Neighbors:
+    """Leading molecule axis on the per-lane arrays only (the lane-select
+    tables live in flat-atom space and must not be expanded)."""
+    return nb.replace(
+        idx=nb.idx[None],
+        mask=nb.mask[None],
+        diff=nb.diff[None],
+        dist=nb.dist[None],
+        elem=None if nb.elem is None else nb.elem[None],
+    )
+
+
 def _refresh_neighbors(
     state: MDState, coords: Array, scale: tp.Optional[Array] = None
 ) -> Neighbors:
@@ -319,6 +331,11 @@ def _refresh_neighbors(
         dist=dist,
         overflow=state.overflow,
         elem=state.nbr_elem,
+        # slot-layout bucket tables double as the scatter-free lane-select
+        # service for runtime per-atom values (bucket_refresh.select_lane_values)
+        select_tables=(
+            state.bucket if isinstance(state.bucket, BucketTables) else None
+        ),
     )
 
 
@@ -761,9 +778,7 @@ class MolecularDynamics:
             nb = _refresh_neighbors(state, c)
             nb = narrow_to_cutoff(nb, self.cutoff)
             out = self.model.compute_from_neighbors(
-                self.elem_idxs, self._to_internal(c)[None], jax.tree.map(
-                    lambda x: x[None] if getattr(x, "ndim", 0) > 0 else x, nb
-                )
+                self.elem_idxs, self._to_internal(c)[None], _batch1(nb)
             )
             return jnp.sum(out.energies)
 
@@ -789,9 +804,7 @@ class MolecularDynamics:
             out = self.model.compute_from_neighbors(
                 self.elem_idxs,
                 self._to_internal(c_red * s)[None],
-                jax.tree.map(
-                    lambda x: x[None] if getattr(x, "ndim", 0) > 0 else x, nb
-                ),
+                _batch1(nb),
             )
             return jnp.sum(out.energies)
 

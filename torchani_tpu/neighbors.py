@@ -98,6 +98,13 @@ class Neighbors(struct.PyTreeNode):
     # avoids a per-step dynamic species gather; when absent, consumers
     # gather from the element array themselves.
     elem: tp.Optional[Array] = None
+    # Optional bucket selection tables (``bucket_refresh.BucketTables``,
+    # attached by the MD driver): a scatter-free lane-select service for
+    # RUNTIME per-atom values that cannot be cached at rebuild time (D3
+    # coordination numbers, ANIq charges).  Consumers route values[idx]
+    # through ``bucket_refresh.select_lane_values``, which uses these when
+    # present and falls back to a plain gather otherwise.
+    select_tables: tp.Optional[tp.Any] = None
 
     @property
     def capacity(self) -> int:

@@ -105,9 +105,7 @@ class ShardedMolecularDynamics(MolecularDynamics):
 
             # --- replicated cheap terms ---
             e_total = jnp.asarray(0.0, jnp.float32)
-            batched = lambda t: jax.tree.map(  # noqa: E731
-                lambda x: x[None] if getattr(x, "ndim", 0) > 0 else x, t
-            )
+            from torchani_tpu.md import _batch1 as batched
             for name, pot in model.potentials.items():
                 if name == "nnp" or not pot.enabled:
                     continue

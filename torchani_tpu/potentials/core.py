@@ -131,12 +131,49 @@ class BasePairPotential(Potential):
     def elem_pairs(
         self, elem_flat: Array, neighbors: Neighbors
     ) -> tp.Tuple[Array, Array]:
-        """(center, neighbor) element indices per lane, shape ``(N, K)``."""
+        """(center, neighbor) element indices per lane, shape ``(N, K)``.
+
+        Uses the table's packed neighbor species (``Neighbors.elem``) when
+        present — the per-lane ``elem_flat[idx]`` gather costs ~23 ms/step
+        at solvated-protein MD shapes ((9775, 370) lanes, profiled)."""
         center = elem_flat[:, None]
-        nbr = jnp.take(elem_flat, neighbors.idx, axis=0)
+        nbr = neighbors.nbr_elem(elem_flat)
         nbr = jnp.where(neighbors.mask, nbr, 0)
         center = jnp.where(neighbors.mask, center, 0)
         return center, nbr
+
+    def pair_tables(
+        self, elem_center: Array, elem_nbr: Array, *tables: Array
+    ) -> tp.List[Array]:
+        """Look up several element-pair-keyed constant tables with ONE
+        folded payload gather.
+
+        Per-lane ``(S, S[, ...])`` advanced indexing lowers to one
+        row-gather PER TABLE on TPU (~290M rows/s, 2.5x worse again for
+        scalar payloads); the five class-table gathers of the
+        dispersion+repulsion stack profiled at ~95 ms/step of the
+        solvated-protein MD step.  Folding every class-keyed constant into
+        a single ``(S*S, sum_channels)`` payload makes ONE wide-row gather
+        — and the tables are constants, so there is no backward at all.
+        """
+        s = tables[0].shape[0]
+        folded = jnp.concatenate(
+            [t.reshape(s * s, -1) for t in tables], axis=1
+        )  # constant-folded at compile time
+        code = elem_center * s + elem_nbr  # masked lanes ride as class 0
+        flat = jnp.take(folded, code.reshape(-1), axis=0)
+        out = flat.reshape(code.shape + (folded.shape[-1],))
+        res: tp.List[Array] = []
+        o = 0
+        for t in tables:
+            if t.ndim > 2:
+                c = int(np.prod(t.shape[2:]))
+                res.append(out[..., o : o + c].reshape(code.shape + t.shape[2:]))
+            else:
+                c = 1
+                res.append(out[..., o])
+            o += c
+        return res
 
     def compute_from_neighbors(
         self,
@@ -158,6 +195,16 @@ class BasePairPotential(Potential):
             diff=neighbors.diff.reshape(c * a, k, 3),
             dist=neighbors.dist.reshape(c * a, k),
             overflow=neighbors.overflow,
+            # keep the packed neighbor species: dropping them here silently
+            # re-enabled the per-lane elem_flat[idx] gather in elem_pairs
+            elem=(
+                None
+                if neighbors.elem is None
+                else neighbors.elem.reshape(c * a, k)
+            ),
+            # the lane-select service rows live in flat single-system atom
+            # space; only valid when the batch axis is trivial
+            select_tables=neighbors.select_tables if c == 1 else None,
         )
         elem_flat = elem_idxs.reshape(-1)
         e = self.pair_energies(elem_flat, nb)  # (N, K)

@@ -118,12 +118,52 @@ class TwoBodyDispersionD3(BasePairPotential):
     ) -> "TwoBodyDispersionD3":
         return cls.make(symbols, functional=functional, **kwargs)
 
+    @staticmethod
+    def _select_rows(values: Array, neighbors: Neighbors) -> Array:
+        """Per-lane selection of a runtime per-atom scalar (values[idx]).
+
+        The one remaining per-lane value dependence of the D3 stack
+        (coordination numbers are computed per step, so they cannot ride
+        the rebuild-time payload fold).  Routed through the bucket-dot
+        lane-select service when the table carries selection tables (the
+        MD driver attaches them): a payload-1 gather costs ~20 ms fwd and
+        a ~27 ms scatter backward at solvated-protein shapes, vs ~1 ms
+        for the MXU selection."""
+        from torchani_tpu.bucket_refresh import select_lane_values
+
+        return select_lane_values(values, neighbors)
+
     def pair_energies(self, elem_flat: Array, neighbors: Neighbors) -> Array:
         dists = self.clamp(neighbors.dist) * self.ANGSTROM_TO_BOHR  # (N, K)
         ec, en = self.elem_pairs(elem_flat, neighbors)
 
+        # ONE folded payload gather for every pair-class constant (78
+        # channels: rcov sum, 3x25 C6-interpolation refs, sqrt charge,
+        # damping radius) instead of six per-lane class gathers — those
+        # profiled at ~120 ms/step of the solvated-protein MD step
+        # (tools/profile_hetero.py); constants have no backward.
+        rcov_pair = (
+            self.covalent_radii[:, None] + self.covalent_radii[None, :]
+        )  # (S, S)
+        (
+            rcov_sum,
+            pre_c6,
+            pre_cn_a,
+            pre_cn_b,
+            sqrt_charge,
+            damp_radii,
+        ) = self.pair_tables(
+            ec,
+            en,
+            rcov_pair,
+            self.precalc_coeff6,
+            self.precalc_cn_a,
+            self.precalc_cn_b,
+            self.sqrt_charge_ab,
+            self.damp_radii,
+        )
+
         # Coordination numbers: masked row sum (full table = both directions)
-        rcov_sum = self.covalent_radii[ec] + self.covalent_radii[en]
         count_fn = 1.0 / (
             1.0 + jnp.exp(-self._K1 * (self._K2 * rcov_sum / dists - 1.0))
         )
@@ -132,13 +172,12 @@ class TwoBodyDispersionD3(BasePairPotential):
 
         cn_center = coordnums[:, None]  # (N, 1)
         cn_nbr = jnp.where(
-            neighbors.mask, jnp.take(coordnums, neighbors.idx, axis=0), 0.0
+            neighbors.mask,
+            self._select_rows(coordnums, neighbors),
+            0.0,
         )
 
         # Gaussian-weighted C6 interpolation over 25 reference pairs
-        pre_c6 = self.precalc_coeff6[ec, en]  # (N, K, 25)
-        pre_cn_a = self.precalc_cn_a[ec, en]
-        pre_cn_b = self.precalc_cn_b[ec, en]
         gauss = (cn_center[..., None] - pre_cn_a) ** 2 + (
             cn_nbr[..., None] - pre_cn_b
         ) ** 2
@@ -147,9 +186,9 @@ class TwoBodyDispersionD3(BasePairPotential):
         w_factor = jnp.sum(gauss, axis=-1) + self._EPS
         z_factor = jnp.sum(pre_c6 * gauss, axis=-1) + self._EPS
         c6_coeff = z_factor / w_factor  # (N, K)
-        c8_coeff = 3 * c6_coeff * self.sqrt_charge_ab[ec, en]
+        c8_coeff = 3 * c6_coeff * sqrt_charge
 
-        damp = self.a1 * self.damp_radii[ec, en] + self.a2
+        damp = self.a1 * damp_radii + self.a2
         e6 = self.s6 * c6_coeff / (dists**6 + damp**6)
         e8 = self.s8 * c8_coeff / (dists**8 + damp**8)
         return -(e6 + e8)

@@ -49,8 +49,10 @@ class FixedCoulomb(BasePairPotential):
     def pair_energies(self, elem_flat: Array, neighbors: Neighbors) -> Array:
         dists = self.clamp(neighbors.dist) * self.ANGSTROM_TO_BOHR
         ec, en = self.elem_pairs(elem_flat, neighbors)
-        charge_prod = self.charges[ec] * self.charges[en] / self.dielectric
-        return charge_prod / dists
+        (charge_prod,) = self.pair_tables(
+            ec, en, self.charges[:, None] * self.charges[None, :]
+        )
+        return charge_prod / self.dielectric / dists
 
 
 class FixedMNOK(BasePairPotential):
@@ -87,8 +89,9 @@ class FixedMNOK(BasePairPotential):
     def pair_energies(self, elem_flat: Array, neighbors: Neighbors) -> Array:
         dists = neighbors.dist * self.ANGSTROM_TO_BOHR
         ec, en = self.elem_pairs(elem_flat, neighbors)
-        inv_eta = 2.0 / (self.eta[ec] + self.eta[en])
         # NOTE: matching the reference, `dielectric` is stored but not applied
         # in the MNOK energy (fixed_coulomb.py:68-75)
-        charge_prod = self.charges[ec] * self.charges[en]
+        inv_eta_t = 2.0 / (self.eta[:, None] + self.eta[None, :])
+        qq_t = self.charges[:, None] * self.charges[None, :]
+        inv_eta, charge_prod = self.pair_tables(ec, en, inv_eta_t, qq_t)
         return charge_prod / jnp.sqrt(dists**2 + inv_eta**2)

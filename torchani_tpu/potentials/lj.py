@@ -77,8 +77,9 @@ class _LJ(BasePairPotential):
 
     def _combined(self, elem_flat: Array, neighbors: Neighbors):
         ec, en = self.elem_pairs(elem_flat, neighbors)
-        eps = jnp.sqrt(self.eps[ec] * self.eps[en])  # Berthelot
-        sigma = (self.sigma[ec] + self.sigma[en]) / 2  # Lorentz
+        eps_t = jnp.sqrt(self.eps[:, None] * self.eps[None, :])  # Berthelot
+        sigma_t = (self.sigma[:, None] + self.sigma[None, :]) / 2  # Lorentz
+        eps, sigma = self.pair_tables(ec, en, eps_t, sigma_t)
         x = sigma / self.clamp(neighbors.dist)
         return eps, x
 

@@ -88,9 +88,10 @@ class RepulsionXTB(BasePairPotential):
     def pair_energies(self, elem_flat: Array, neighbors: Neighbors) -> Array:
         dists = self.clamp(neighbors.dist) * self.ANGSTROM_TO_BOHR
         ec, en = self.elem_pairs(elem_flat, neighbors)
-        y_ab = self.y_ab[ec, en]
-        sqrt_alpha_ab = self.sqrt_alpha_ab[ec, en]
-        k_rep_ab = self.k_rep_ab[ec, en]
+        # one folded payload gather instead of three per-lane class gathers
+        y_ab, sqrt_alpha_ab, k_rep_ab = self.pair_tables(
+            ec, en, self.y_ab, self.sqrt_alpha_ab, self.k_rep_ab
+        )
         return (y_ab / dists) * jnp.exp(-sqrt_alpha_ab * dists**k_rep_ab)
 
 
@@ -155,8 +156,13 @@ class RepulsionZBL(BasePairPotential):
     def pair_energies(self, elem_flat: Array, neighbors: Neighbors) -> Array:
         dists = self.clamp(neighbors.dist) * self.ANGSTROM_TO_BOHR
         ec, en = self.elem_pairs(elem_flat, neighbors)
-        eff_za = self.eff_atomic_nums[ec]
-        eff_zb = self.eff_atomic_nums[en]
-        eff_coulomb = eff_za * eff_zb / dists
-        reduced = dists * (eff_za**self.kz + eff_zb**self.kz) / self.k
+        # pairwise-combined (S, S) tables via ONE payload gather
+        za_zb = self.eff_atomic_nums[:, None] * self.eff_atomic_nums[None, :]
+        kz_sum = (
+            self.eff_atomic_nums[:, None] ** self.kz
+            + self.eff_atomic_nums[None, :] ** self.kz
+        )
+        prod_ab, kzsum_ab = self.pair_tables(ec, en, za_zb, kz_sum)
+        eff_coulomb = prod_ab / dists
+        reduced = dists * kzsum_ab / self.k
         return eff_coulomb * self.screen_fn(reduced)
