@@ -100,6 +100,39 @@ def test_md_step_with_extra_potentials_matches_single_point(dr_model):
     assert abs(e_nodisp - float(e[0])) > 1e-6
 
 
+def test_lane_prefix_dispatch_matches_full_table():
+    """With a long-cutoff potential inflating the build radius, the MD
+    driver runs short-cutoff potentials on a static prefix of the
+    distance-sorted lanes (`_lane_prefixes`).  Pin a capacity that forces
+    the prefix to engage and check E/F against the from-scratch path."""
+    z, c, cell = make_solvated_system(
+        None, f"{PDB_DIR}/water-0.8nm.pdb", box=16.0
+    )
+    model = tt.simple_ani(
+        ("H", "O"), "wb97x-631gd", ensemble_size=1,
+        repulsion=True, dispersion=True,
+    )
+    md = MolecularDynamics(
+        model, z[None], cell=cell, pbc=True, nn_precision="highest",
+        capacity=224,
+    )
+    assert md._lane_prefixes, "prefix dispatch must engage in this test"
+    assert max(md._lane_prefixes.values()) < 224
+    state = md.init(c)
+    assert not bool(state.overflow)
+    e, f = energies_and_forces(
+        model,
+        jnp.asarray(z[None]),
+        jnp.asarray(c[None]),
+        jnp.asarray(cell),
+        jnp.asarray([True, True, True]),
+    )
+    np.testing.assert_allclose(float(e[0]), float(state.energy), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(f)[0], np.asarray(state.forces), atol=2e-4
+    )
+
+
 def test_md_vacuum_protein_fragment_matches_single_point(dr_model):
     """264-atom HCNO PDB fragment, no PBC, repulsion+dispersion enabled."""
     z, c, _ = read_pdb(f"{PDB_DIR}/small.pdb")

@@ -266,6 +266,19 @@ def _with_nn_precision(model, precision: str):
     return model.replace(potentials=pots)
 
 
+def _slice_lanes(nb: Neighbors, p: int) -> Neighbors:
+    """Static lane-prefix view of a distance-sorted table (select service
+    dropped: its tables describe the full lane layout)."""
+    return Neighbors(
+        idx=nb.idx[:, :p],
+        mask=nb.mask[:, :p],
+        diff=nb.diff[:, :p, :],
+        dist=nb.dist[:, :p],
+        overflow=nb.overflow,
+        elem=None if nb.elem is None else nb.elem[:, :p],
+    )
+
+
 def _batch1(nb: Neighbors) -> Neighbors:
     """Leading molecule axis on the per-lane arrays only (the lane-select
     tables live in flat-atom space and must not be expanded)."""
@@ -470,6 +483,32 @@ class MolecularDynamics:
                     self.model = _with_angular_preslice(self.model, prefix)
             except (AttributeError, KeyError):
                 pass  # model without a standard nnp/aev stack
+        # Per-POTENTIAL static lane prefixes: when a long-cutoff potential
+        # (e.g. D3 dispersion at 8 A) inflates the build radius, the
+        # short-cutoff potentials (NNP AEV at 5.2, repulsion) must not pay
+        # the widened K — their reach lives in a static prefix of the
+        # distance-sorted lanes (same displacement bound + per-build
+        # verification as the angular preslice).  The energy closure then
+        # dispatches each potential on its own lane slice.
+        self._lane_prefixes: tp.Dict[str, int] = {}
+        self._prefix_checks: tp.List[tp.Tuple[float, int]] = []
+        if not npt_compression:
+            for pname, pot in getattr(self.model, "potentials", {}).items():
+                r_pot = float(pot.cutoff)
+                if not pot.enabled or not math.isfinite(r_pot):
+                    continue
+                if r_pot + skin >= self.cutoff + skin - 1e-9:
+                    continue  # already the build cutoff
+                p = estimate_capacity(r_pot + skin, a, periodic=pbc)
+                if p < self.capacity:
+                    self._lane_prefixes[pname] = p
+            for p in sorted(set(self._lane_prefixes.values())):
+                r_phys = max(
+                    float(self.model.potentials[n].cutoff)
+                    for n, pp in self._lane_prefixes.items()
+                    if pp == p
+                )
+                self._prefix_checks.append((r_phys, p))
         # bucket-dot refresh (periodic systems): replace the per-step
         # neighbor-position row gather + its backward with bucket-local
         # one-hot MXU contractions (bucket_refresh.py).  "auto" = on for
@@ -699,12 +738,13 @@ class MolecularDynamics:
             nbr_pos = jnp.take(coords, jnp.where(mask, idx, 0), axis=0)
             shift = nbrs.diff[0] - (nbr_pos - coords[:, None, :])
             shift = jnp.where(mask[..., None], shift, 0.0)
-        if self._ang_prefix is not None:
+        if self._ang_prefix is not None or self._lane_prefixes:
             # Sort lanes by build distance (amortized over the Verlet window)
-            # so the angular-range lanes occupy a static prefix; verify the
-            # prefix bound actually holds for this build.  The permutation is
-            # applied as a one-hot contraction (`lane_permute`): per-row
-            # take_along_axis lane gathers are pathological on TPU.
+            # so every short-reach lane set occupies a static prefix; verify
+            # each prefix bound actually holds for this build.  The
+            # permutation is applied as a one-hot contraction
+            # (`lane_permute`): per-row take_along_axis lane gathers are
+            # pathological on TPU.
             from torchani_tpu.neighbors import lane_permute
 
             k = idx.shape[-1]
@@ -720,11 +760,15 @@ class MolecularDynamics:
                 idx, mask, shift, skeys = lane_permute(
                     (idx, mask, shift, jnp.where(mask, dist, 1e30)), order
                 )
-            r_ang = float(self.model.aev_computer.angular.cutoff)
-            in_reach = jnp.sum(
-                mask & (skeys <= r_ang + self.skin), axis=-1
-            )
-            overflow = overflow | jnp.any(in_reach > self._ang_prefix)
+            if self._ang_prefix is not None:
+                r_ang = float(self.model.aev_computer.angular.cutoff)
+                in_reach = jnp.sum(
+                    mask & (skeys <= r_ang + self.skin), axis=-1
+                )
+                overflow = overflow | jnp.any(in_reach > self._ang_prefix)
+            for r_phys, p in self._prefix_checks:
+                cnt = jnp.sum(mask & (skeys <= r_phys + self.skin), axis=-1)
+                overflow = overflow | jnp.any(cnt > p)
         # cache neighbor species: topology-only, so the per-step force path
         # skips the (A, K) dynamic species gather entirely.  With the
         # species-sorted internal order, species-of-atom-index is a step
@@ -771,16 +815,45 @@ class MolecularDynamics:
         overflow = overflow | ~all_found
         return idx, mask, shift, nbr_elem, rev, overflow, None
 
-    def _energy_and_forces(self, state: MDState, coords: Array):
+    def _potential_energy(self, nb: Neighbors, cs: Array) -> Array:
+        """Total potential energy from a refreshed table (internal order).
+
+        Without lane prefixes this is exactly
+        ``model.compute_from_neighbors``; with them (a long-cutoff
+        potential inflated the build radius, e.g. D3 dispersion at 8 A)
+        each short-cutoff potential runs on its own STATIC prefix of the
+        distance-sorted lanes instead of the full widened K — verified per
+        build like the angular preslice."""
         from torchani_tpu.neighbors import narrow_to_cutoff
 
-        def energy(c):
-            nb = _refresh_neighbors(state, c)
-            nb = narrow_to_cutoff(nb, self.cutoff)
+        if not self._lane_prefixes:
+            nbn = narrow_to_cutoff(nb, self.cutoff)
             out = self.model.compute_from_neighbors(
-                self.elem_idxs, self._to_internal(c)[None], _batch1(nb)
+                self.elem_idxs, cs[None], _batch1(nbn)
             )
             return jnp.sum(out.energies)
+        e = jnp.asarray(0.0, jnp.float32)
+        for name, pot in sorted(self.model.potentials.items()):
+            if not pot.enabled:
+                continue
+            p = self._lane_prefixes.get(name)
+            nbp = _slice_lanes(nb, p) if p is not None else nb
+            r = min(float(pot.cutoff), self.cutoff)
+            nbp = narrow_to_cutoff(nbp, r)
+            e = e + jnp.sum(
+                pot.compute_from_neighbors(
+                    self.elem_idxs, cs[None], _batch1(nbp)
+                ).energies
+            )
+        shifter = self.model.energy_shifter
+        if shifter is not None and shifter.enabled:
+            e = e + jnp.sum(shifter(self.elem_idxs))
+        return e
+
+    def _energy_and_forces(self, state: MDState, coords: Array):
+        def energy(c):
+            nb = _refresh_neighbors(state, c)
+            return self._potential_energy(nb, self._to_internal(c))
 
         e, g = jax.value_and_grad(energy)(coords)
         return e, -g
@@ -796,17 +869,9 @@ class MolecularDynamics:
         fused into the force backward.  Physical forces are the reduced
         gradient divided by scale.
         """
-        from torchani_tpu.neighbors import narrow_to_cutoff
-
         def energy(c_red, s):
             nb = _refresh_neighbors(state, c_red, s)
-            nb = narrow_to_cutoff(nb, self.cutoff)
-            out = self.model.compute_from_neighbors(
-                self.elem_idxs,
-                self._to_internal(c_red * s)[None],
-                _batch1(nb),
-            )
-            return jnp.sum(out.energies)
+            return self._potential_energy(nb, self._to_internal(c_red * s))
 
         e, (gr, gs) = jax.value_and_grad(energy, argnums=(0, 1))(
             coords / scale, scale
