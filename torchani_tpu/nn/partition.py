@@ -57,29 +57,23 @@ def supports(num_species: int, num_rows: int) -> bool:
     return (num_species + 1) * num_rows < _MAX_EXACT
 
 
-@jax.custom_vjp
 def _perm_pad_rows(x: Array, fwd_idx: Array, bwd_idx: Array) -> Array:
-    """``concat([x, 0-row])[fwd_idx]`` whose backward gathers by ``bwd_idx``.
+    """Sentinel-padded permutation ``x[fwd_idx]`` (sentinel rows -> 0) whose
+    transpose gathers by ``bwd_idx``.
 
     Both directions are wide-row gathers: ``fwd_idx`` maps output rows to
-    source rows (index == len(x) selects the zero pad row), ``bwd_idx`` maps
-    source rows to output rows (index == len(fwd_idx) drops the cotangent).
-    The pair must be mutually inverse on the real entries.
+    source rows (index >= len(x) selects a zero row), ``bwd_idx`` maps
+    source rows to output rows (index >= len(fwd_idx) drops the cotangent).
+    The pair must be mutually inverse on the real entries.  Implemented by
+    the `torchani_tpu.utils.perm_gather` primitive so every order of AD
+    (and the ensemble-member vmap) stays in the gather class — force
+    training differentiates the force backward, and a custom_vjp dissolves
+    there into a plain ``take`` whose jvp-transpose is a scatter-add
+    (pinned by tests/test_second_order_perms.py).
     """
-    pad = jnp.zeros((1,) + x.shape[1:], x.dtype)
-    return jnp.take(jnp.concatenate([x, pad]), fwd_idx, axis=0)
+    from torchani_tpu.utils import perm_gather
 
-
-def _perm_pad_fwd(x, fwd_idx, bwd_idx):
-    return _perm_pad_rows(x, fwd_idx, bwd_idx), bwd_idx
-
-
-def _perm_pad_bwd(bwd_idx, g):
-    pad = jnp.zeros((1,) + g.shape[1:], g.dtype)
-    return jnp.take(jnp.concatenate([g, pad]), bwd_idx, axis=0), None, None
-
-
-_perm_pad_rows.defvjp(_perm_pad_fwd, _perm_pad_bwd)
+    return perm_gather(x, fwd_idx, bwd_idx)
 
 
 class SpeciesBlocks(tp.NamedTuple):

@@ -282,6 +282,76 @@ def download_and_extract(*args: tp.Any, **kwargs: tp.Any) -> None:
     )
 
 
+def _perm_gather_impl(x: Array, fwd_idx: Array, bwd_idx: Array) -> Array:
+    n = x.shape[0]
+    safe = jnp.minimum(fwd_idx, max(n - 1, 0))
+    out = jnp.take(x, safe, axis=0)
+    keep = (fwd_idx < n).reshape((fwd_idx.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(keep, out, jnp.zeros((), x.dtype))
+
+
+def _make_perm_gather():
+    from jax.core import ShapedArray
+    from jax.extend.core import Primitive
+    from jax.interpreters import ad, batching, mlir
+
+    p = Primitive("perm_gather")
+    p.def_impl(_perm_gather_impl)
+    p.def_abstract_eval(
+        lambda x, f, b: ShapedArray((f.shape[0],) + x.shape[1:], x.dtype)
+    )
+    ad.defjvp(p, lambda g, x, f, b: p.bind(g, f, b), None, None)
+
+    def transpose(ct, x, fwd_idx, bwd_idx):
+        assert ad.is_undefined_primal(x)
+        if type(ct) is ad.Zero:
+            return [ad.Zero(x.aval), None, None]
+        return [p.bind(ct, bwd_idx, fwd_idx), None, None]
+
+    ad.primitive_transposes[p] = transpose
+
+    def batch(args, dims):
+        x, f, b = args
+        xd, fd, bd = dims
+        if fd is not None or bd is not None:
+            raise NotImplementedError("perm_gather: batched indices")
+        return p.bind(jnp.moveaxis(x, xd, 1), f, b), 1
+
+    batching.primitive_batchers[p] = batch
+    mlir.register_lowering(
+        p, mlir.lower_fun(_perm_gather_impl, multiple_results=False)
+    )
+    return p
+
+
+_perm_gather_p = _make_perm_gather()
+
+
+def perm_gather(x: Array, fwd_idx: Array, bwd_idx: Array) -> Array:
+    """Sentinel-padded permutation row gather whose TRANSPOSE is the
+    inverse gather, at every order of AD.
+
+    ``out[j] = x[fwd_idx[j]]`` for in-range indices, 0 for sentinel
+    indices (``>= len(x)``).  ``bwd_idx`` must be the mutual inverse on
+    the real entries (``fwd_idx[bwd_idx[i]] == i`` whenever
+    ``bwd_idx[i]`` is in range) with sentinels ``>= len(fwd_idx)`` for
+    dropped rows; the transpose of the op is then exactly
+    ``perm_gather(ct, bwd_idx, fwd_idx)``.
+
+    Why a primitive: the transpose of a plain row gather is a scatter-add
+    — the recurring TPU per-row disease (CLAUDE.md).  For permutations
+    the scatter is exactly a gather by the inverse.  ``jax.custom_vjp``
+    only fixes FIRST-order AD (under force training's grad-of-grad it
+    dissolves into its fwd's plain ``take``, whose jvp-transpose
+    scatters), and ``jax.custom_derivatives.linear_call`` has no vmap
+    batching rule (the ensemble member axis vmaps over this op).  A
+    primitive with a linear jvp, a swap-the-indices transpose and a
+    move-the-batch-axis batching rule composes under every transform;
+    op-class pinned by tests/test_second_order_perms.py.
+    """
+    return _perm_gather_p.bind(x, fwd_idx, bwd_idx)
+
+
 def nonzero_in_chunks(x: Array, chunk_size: int = 2**31 - 1) -> Array:
     """Flat indices of nonzero elements (reference ``utils.py:139-162``).
 
