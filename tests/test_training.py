@@ -296,3 +296,109 @@ def test_metrics_writer_roundtrip(tmp_path):
     with MetricsWriter(path) as w:
         w.write(2, {"loss": 1.0})
     assert len(read_metrics(path)["step"]) == 3
+
+
+def test_epoch_runner_matches_per_batch_loop(tmp_path):
+    """EpochRunner's scanned chunks produce the same parameter trajectory
+    and loss mean as the naive per-batch step loop, and its compiled
+    validation matches the unjitted RMSE."""
+    from torchani_tpu.training import EpochRunner
+    from torchani_tpu.training.loop import _model_with_networks
+
+    model = tt.simple_ani(("H", "C", "N", "O"), ensemble_size=1)
+    model = model.replace(
+        energy_shifter=model.energy_shifter.replace(enabled=False)
+    )
+    rng = np.random.RandomState(0)
+    batches = []
+    for i in range(5):
+        species, coords = make_molecs(8, 6, seed=i)
+        batches.append(
+            {
+                "species": species,
+                "coordinates": coords,
+                "energies": rng.randn(8).astype(np.float64) * 0.01,
+            }
+        )
+    # one odd-shaped batch exercises the shape-class grouping
+    species, coords = make_molecs(8, 7, seed=9)
+    batches.append(
+        {
+            "species": species,
+            "coordinates": coords,
+            "energies": rng.randn(8).astype(np.float64) * 0.01,
+        }
+    )
+
+    optimizer = optax.adam(1e-3)
+    runner = EpochRunner(model, optimizer, chunk=3, nn_precision=None)
+    state = runner.init()
+    state_r, metrics = runner.epoch(state, batches)
+    assert metrics["steps"] == 6
+
+    init_fn, step_fn = make_train_step(model, optimizer, nn_precision=None)
+    state_n = init_fn()
+    step_jit = jax.jit(step_fn)
+    losses = []
+    for b in batches:
+        jb = {
+            "species": jnp.asarray(np.asarray(b["species"], np.int32)),
+            "coordinates": jnp.asarray(
+                np.asarray(b["coordinates"], np.float32)
+            ),
+            "energies": jnp.asarray(np.asarray(b["energies"], np.float32)),
+        }
+        state_n, m = step_jit(state_n, jb)
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(
+        metrics["loss"], np.mean(losses), rtol=1e-5
+    )
+    ref_leaves = jax.tree_util.tree_leaves(state_n.networks)
+    run_leaves = jax.tree_util.tree_leaves(state_r.networks)
+    for a, b in zip(ref_leaves, run_leaves):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+        )
+
+    # validation parity vs the unjitted eager pass
+    rmse = runner.validate(state_r, batches)
+    m = _model_with_networks(model, state_r.networks)
+    errs = []
+    for b in batches:
+        pred = m(
+            jnp.asarray(np.asarray(b["species"], np.int32)),
+            jnp.asarray(np.asarray(b["coordinates"], np.float32)),
+        )
+        errs.append(np.asarray(pred) - np.asarray(b["energies"]))
+    ref_rmse = float(np.sqrt(np.mean(np.concatenate(errs) ** 2)))
+    np.testing.assert_allclose(rmse, ref_rmse, rtol=1e-4)
+
+
+def test_epoch_runner_honors_capacity_buckets():
+    """Batches stamped with different angular_capacity buckets compile and
+    run through their own programs within one epoch."""
+    from torchani_tpu.training import EpochRunner
+
+    model = tt.simple_ani(("H", "C", "N", "O"), ensemble_size=1)
+    model = model.replace(
+        energy_shifter=model.energy_shifter.replace(enabled=False)
+    )
+    rng = np.random.RandomState(1)
+    batches = []
+    for cap in (8, 12):
+        for i in range(2):
+            species, coords = make_molecs(6, 8, seed=10 * cap + i)
+            batches.append(
+                {
+                    "species": species,
+                    "coordinates": coords,
+                    "energies": rng.randn(6).astype(np.float64) * 0.01,
+                    "angular_capacity": np.asarray(cap, np.int32),
+                }
+            )
+    runner = EpochRunner(model, optax.adam(1e-3), chunk=4)
+    state = runner.init()
+    state, metrics = runner.epoch(state, batches)
+    assert metrics["steps"] == 4
+    assert np.isfinite(metrics["loss"])
+    assert np.isfinite(runner.validate(state, batches))

@@ -29,6 +29,11 @@ def main():
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--ensemble", type=int, default=8)
     parser.add_argument("--no-dispersion", action="store_true")
+    parser.add_argument(
+        "--mts", type=int, default=0,
+        help="RESPA multiple-timestep: evaluate the dispersion lane every "
+        "N inner steps (0 = monolithic driver)",
+    )
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -58,20 +63,44 @@ def main():
         dispersion=not args.no_dispersion,
     )
 
-    md = MolecularDynamics(model, z[None], cell=cell, pbc=True)
+    if args.mts:
+        args.steps -= args.steps % args.mts or 0  # scan needs a multiple
+        from torchani_tpu.md import MultipleTimestepMD
+
+        md = MultipleTimestepMD(
+            model, z[None], cell=cell, pbc=True, every=args.mts
+        )
+        run = lambda st, n: md.run(st, n)  # noqa: E731
+    else:
+        md = MolecularDynamics(model, z[None], cell=cell, pbc=True)
+        run = lambda st, n: md.run_nve(st, n)  # noqa: E731
+    import jax.numpy as jnp
+    from torchani_tpu.md import ACCEL_UNIT
+
+    def total_e(st):
+        ke = 0.5 * float(
+            jnp.sum(md.masses[:, None] * st.velocities**2)
+        ) / ACCEL_UNIT
+        return float(st.energy) + ke
+
     state = md.init(coords[None], temperature=300.0)
     # warm up with the SAME step count (scan length is part of the program)
-    state = md.run_nve(state, args.steps)
-    e0 = float(state.energy)
+    state = run(state, args.steps)
+    e0 = total_e(state)
     t0 = time.perf_counter()
-    state = md.run_nve(state, args.steps)
-    e1 = float(state.energy)
+    state = run(state, args.steps)
+    e1 = total_e(state)
     dt = (time.perf_counter() - t0) / args.steps
     assert np.isfinite(e1), "non-finite energy"
     print(
+        f"NVE conserved-energy drift over {args.steps} steps: "
+        f"{abs(e1 - e0):.6f} Ha ({abs(e1 - e0) / len(z) * 1e6:.3f} uHa/atom)",
+        flush=True,
+    )
+    print(
         f"hetero MD (repulsion={True}, dispersion={not args.no_dispersion}, "
-        f"ensemble {args.ensemble}): {dt * 1e3:.2f} ms/step = "
-        f"{86400.0 / dt * 1e-6:.3f} ns/day @1fs; "
+        f"ensemble {args.ensemble}, mts={args.mts}): {dt * 1e3:.2f} ms/step "
+        f"= {86400.0 / dt * 1e-6:.3f} ns/day @1fs; "
         f"E {e0:.4f} -> {e1:.4f} Ha; rebuilds={int(state.rebuilds)}",
         flush=True,
     )

@@ -39,7 +39,9 @@ from torchani_tpu.utils import exact_matmul, get_atomic_masses
 __all__ = [
     "CachedSinglePoint",
     "MDState",
+    "MTSState",
     "MolecularDynamics",
+    "MultipleTimestepMD",
     "maxwell_boltzmann_velocities",
     "kinetic_temperature",
 ]
@@ -473,7 +475,7 @@ class MolecularDynamics:
         # against a physical angular reach; under a shrinking box the static
         # prefix is no longer provably sufficient — skip it (perf-only
         # feature) rather than carry a scale-dependent bound.
-        if not npt_compression:
+        if not npt_compression and self._nnp_enabled():
             try:
                 aevc = self.model.aev_computer
                 r_ang = float(aevc.angular.cutoff)
@@ -537,6 +539,12 @@ class MolecularDynamics:
             # (the bounding cell itself is recomputed dynamically each build;
             # a fixed grid shape only affects bucket occupancy, not results).
             self.grid_shape = None
+
+    def _nnp_enabled(self) -> bool:
+        try:
+            return bool(self.model.potentials["nnp"].enabled)
+        except (AttributeError, KeyError):
+            return True  # non-standard stack: don't skip anything
 
     def _ensure_grid(self, coords: Array) -> None:
         if self.grid_shape is None and self.cell is None:
@@ -647,6 +655,8 @@ class MolecularDynamics:
         if self._angular_split_done:
             return
         self._angular_split_done = True
+        if not self._nnp_enabled():
+            return  # AEV never runs (e.g. the MTS slow-lane driver)
         a = int(coords.shape[0])
         if a < 2048:
             return  # small systems: the split's sort overhead dominates
@@ -1319,6 +1329,219 @@ class MolecularDynamics:
 
             cache[key] = chunk
         return cache[key](state)
+
+
+class MTSState(struct.PyTreeNode):
+    """State of a multiple-timestep (RESPA) run: the fast driver's full MD
+    state plus the slow lane's cache/forces (its ``coords``/``velocities``
+    mirror the fast state at outer boundaries; ``forces``/``energy`` hold
+    the SLOW component)."""
+
+    fast: MDState
+    slow: MDState
+
+    # Combined views (valid at outer-step boundaries).
+    @property
+    def coords(self) -> Array:
+        return self.fast.coords
+
+    @property
+    def velocities(self) -> Array:
+        return self.fast.velocities
+
+    @property
+    def energy(self) -> Array:
+        """Total potential energy (fast + slow lanes)."""
+        return self.fast.energy + self.slow.energy
+
+    @property
+    def forces(self) -> Array:
+        """Total forces (fast + slow lanes), user atom order."""
+        return self.fast.forces + self.slow.forces
+
+    @property
+    def overflow(self) -> Array:
+        return self.fast.overflow | self.slow.overflow
+
+    @property
+    def rebuilds(self) -> Array:
+        return self.fast.rebuilds + self.slow.rebuilds
+
+    @property
+    def step(self) -> Array:
+        return self.fast.step
+
+
+class MultipleTimestepMD:
+    """RESPA (r-RESPA impulse) multiple-timestep MD for models with a
+    long-cutoff smooth tail (e.g. ANI-2dr's 8 A D3 dispersion over a 5.2 A
+    NNP core).
+
+    The reference delegates MD to ASE and evaluates the WHOLE model every
+    step (reference ``ase.py``; D3 at ``potentials/dftd3.py:37-311`` rides
+    the same 8 A neighborlist every femtosecond).  Dispersion energies are
+    smooth and slowly varying, yet the 8 A cutoff forces the widest
+    neighbor table of the whole model — measured 28 ms/step of a 47.9
+    ms/step solvated-protein MD step (docs/performance.md).  The TPU
+    design splits the Hamiltonian into two *independent* Verlet-cached
+    lanes, each an ordinary `MolecularDynamics` driver running the
+    time-honored impulse splitting:
+
+    - **fast lane**: every potential reaching at most the NNP cutoff
+      (NNP + repulsion + self energies), with its OWN cell grid and
+      neighbor table at 5.2 A + skin — the per-step cost is exactly the
+      dispersion-free configuration's.
+    - **slow lane**: the long-cutoff potentials only, evaluated once per
+      ``every`` inner steps as a velocity impulse of ``every * dt *
+      F_slow`` (half applied before the inner segment, half after —
+      symplectic, time-reversible).  Its wide table refreshes only at
+      those boundaries, and its own skin criterion sees the accumulated
+      displacement between evaluations.
+
+    With ``every=1`` the scheme is algebraically identical to plain
+    velocity Verlet on the full model (the half-kicks commute and sum).
+    Stability: impulse RESPA resonates when ``every * dt`` approaches
+    half the fastest period in the system (~10 fs X-H stretches), so keep
+    ``every * dt`` at or below ~4 fs; validate with the NVE drift check
+    (tests/test_md_mts.py does, and the bench's drift gate covers the
+    production configuration).
+
+    >>> mts = MultipleTimestepMD(model, species, cell=cell, pbc=True, every=4)
+    >>> state = mts.init(coords, temperature=300.0)
+    >>> state = mts.run(state, 1000)            # 1000 fs of NVE
+    >>> e, f = state.energy, state.forces       # total (fast + slow)
+    """
+
+    def __init__(
+        self,
+        model,
+        species: Array,  # (1, A) atomic numbers
+        cell: tp.Optional[Array] = None,
+        pbc: bool = False,
+        every: int = 4,
+        slow_names: tp.Optional[tp.Sequence[str]] = None,
+        skin: float = 0.75,
+        slow_skin: tp.Optional[float] = None,
+        timestep_fs: float = 1.0,
+        **md_kwargs,
+    ) -> None:
+        if every < 1:
+            raise ValueError("every must be >= 1")
+        self.every = int(every)
+        self.dt = timestep_fs
+        if slow_names is None:
+            # default split: everything reaching beyond the NNP core is slow
+            r_fast = float(model.potentials["nnp"].cutoff)
+            slow_names = tuple(
+                n
+                for n, p in model.potentials.items()
+                if p.enabled and float(p.cutoff) > r_fast
+            )
+        self.slow_names = tuple(slow_names)
+        if not self.slow_names:
+            raise ValueError(
+                "MTS needs at least one enabled potential with a cutoff "
+                "beyond the fast set (e.g. D3 dispersion over an NNP core)"
+            )
+        fast_model = model
+        slow_model = model
+        for n, p in model.potentials.items():
+            if not p.enabled:
+                continue
+            if n in self.slow_names:
+                fast_model = fast_model.set_enabled(n, False)
+            else:
+                slow_model = slow_model.set_enabled(n, False)
+        if not any(p.enabled for p in fast_model.potentials.values()):
+            raise ValueError("MTS fast set is empty; check slow_names")
+        # self energies are coordinate-independent: keep them on the fast
+        # lane only (state.energy sums the lanes)
+        if slow_model.energy_shifter is not None:
+            slow_model = slow_model.replace(
+                energy_shifter=slow_model.energy_shifter.replace(enabled=False)
+            )
+        self.fast = MolecularDynamics(
+            fast_model, species, cell=cell, pbc=pbc, skin=skin,
+            timestep_fs=timestep_fs, **md_kwargs,
+        )
+        self.slow = MolecularDynamics(
+            slow_model, species, cell=cell, pbc=pbc,
+            skin=slow_skin if slow_skin is not None else skin,
+            timestep_fs=timestep_fs, **md_kwargs,
+        )
+        self._runner_cache: tp.Dict[tp.Tuple, tp.Any] = {}
+
+    @property
+    def masses(self) -> Array:
+        return self.fast.masses
+
+    def init(
+        self,
+        coords: Array,
+        temperature: tp.Optional[float] = None,
+        key: tp.Optional[Array] = None,
+    ) -> MTSState:
+        fast = self.fast.init(coords, temperature=temperature, key=key)
+        slow = self.slow.init(coords)
+        return MTSState(fast=fast, slow=slow)
+
+    def _outer_step(self, s: MTSState, inner_step) -> MTSState:
+        """One RESPA outer step: slow half-impulse, ``every`` inner steps
+        of the fast lane, slow re-evaluation, slow half-impulse."""
+        half = 0.5 * self.every * self.dt
+        inv_m = (ACCEL_UNIT / self.fast.masses)[:, None]
+        fast = s.fast.replace(
+            velocities=s.fast.velocities + half * s.slow.forces * inv_m
+        )
+
+        def body(st, _):
+            return inner_step(st), None
+
+        fast, _ = jax.lax.scan(body, fast, None, length=self.every)
+        slow = self.slow._maybe_rebuild(s.slow, fast.coords)
+        es, fs = self.slow._energy_and_forces(slow, fast.coords)
+        slow = slow.replace(coords=fast.coords, energy=es, forces=fs)
+        fast = fast.replace(
+            velocities=fast.velocities + half * fs * inv_m
+        )
+        return MTSState(fast=fast, slow=slow)
+
+    def run(
+        self,
+        state: MTSState,
+        num_steps: int,
+        ensemble: str = "nve",
+        **params,
+    ) -> MTSState:
+        """Run ``num_steps`` INNER (``timestep_fs``) steps in one device
+        program.  ``num_steps`` must be a multiple of ``every``.  Ensembles:
+        ``"nve"`` or ``"langevin"``/``"nvt"`` (the thermostat acts on the
+        fast dynamics; slow impulses stay outside — standard Langevin
+        RESPA).  NPT is not supported under MTS (the two lanes would need
+        a shared barostat virial); use the plain driver for NPT.
+        """
+        if num_steps % self.every:
+            raise ValueError("num_steps must be a multiple of `every`")
+        if ensemble == "npt" or ensemble == "nvt-nhc":
+            raise ValueError(f"ensemble {ensemble!r} not supported under MTS")
+        fast_state, inner_step, key_suffix = self.fast._ensemble_step(
+            state.fast, ensemble, params
+        )
+        state = MTSState(fast=fast_state, slow=state.slow)
+        outer = num_steps // self.every
+        key = (ensemble, outer, self.every) + key_suffix
+        if key not in self._runner_cache:
+
+            @jax.jit
+            def chunk(st):
+                def body(st, _):
+                    return self._outer_step(st, inner_step), None
+
+                st, _ = jax.lax.scan(body, st, None, length=outer)
+                return st
+
+            self._runner_cache[key] = chunk
+        return self._runner_cache[key](state)
 
 
 class CachedSinglePoint:

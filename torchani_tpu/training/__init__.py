@@ -8,6 +8,7 @@ from torchani_tpu.training.checkpoints import (
 from torchani_tpu.training.metrics import MetricsWriter, read_metrics
 from torchani_tpu.training.schedules import ReduceLROnPlateau, adamw_with_plateau
 from torchani_tpu.training.loop import (
+    EpochRunner,
     TrainState,
     energy_force_loss,
     make_bucketed_train_step,
@@ -18,6 +19,7 @@ from torchani_tpu.training.loop import (
 )
 
 __all__ = [
+    "EpochRunner",
     "MetricsWriter",
     "read_metrics",
     "TrainState",

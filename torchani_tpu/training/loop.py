@@ -21,6 +21,7 @@ from torchani_tpu.annotations import Array
 from torchani_tpu.arch import ANI
 
 __all__ = [
+    "EpochRunner",
     "TrainState",
     "energy_force_loss",
     "make_train_step",
@@ -150,6 +151,212 @@ def make_train_step(
         return new_state, {"loss": loss}
 
     return init_fn, step_fn
+
+
+class EpochRunner:
+    """Epoch driver at the benchmark's cadence: scanned steps, one host
+    fetch per epoch, jitted validation.
+
+    The naive loop — ``for b in batches: state, m = step_jit(state, b);
+    float(m["loss"])`` — commits two measured tunnel traps (CLAUDE.md):
+    the per-step scalar fetch blocks ~30 ms of host<->device round-trip
+    per batch (it inflated early training numbers by 50%), and an
+    unjitted validation pass dispatches the model op-by-op.  This runner
+    instead:
+
+    - groups consecutive same-shape (and same ``angular_capacity``
+      bucket) batches into chunks of up to ``chunk`` steps, stacks each
+      chunk on the host, and runs it as ONE device program
+      (``lax.scan`` over the stacked batch axis) — the exact cadence the
+      86.1k samples/s benchmark measures (depth-50 scans,
+      docs/performance.md "Measurement rules");
+    - keeps the accumulated loss as a device array, fetched once per
+      epoch (transfers overlap compute: JAX dispatch is async and
+      nothing blocks until that fetch);
+    - validates through compiled scan programs per shape class, again
+      with a single end-of-epoch fetch.
+
+    Compiled-program budget: one program per (chunk length, batch shape
+    class, capacity bucket).  Full chunks share one program; the
+    leftover group of each shape class compiles one shorter scan.
+
+    Reference counterpart: the epoch loop of
+    ``/root/reference/examples/training.py:160-199`` (tqdm over batches,
+    per-batch ``loss.backward()``); the cuAEV benchmark table this must
+    match is ``csrc/README.md:106-113``.
+    """
+
+    def __init__(
+        self,
+        model_template: ANI,
+        optimizer: optax.GradientTransformation,
+        force_training: bool = False,
+        force_weight: float = 0.1,
+        nn_precision: tp.Optional[str] = "high",
+        chunk: int = 50,
+    ) -> None:
+        self._template = model_template
+        self._optimizer = optimizer
+        self._force_training = force_training
+        self._force_weight = force_weight
+        self._nn_precision = nn_precision
+        self._chunk = int(chunk)
+        self._steps: tp.Dict[tp.Optional[int], tp.Any] = {}
+        self._runners: tp.Dict[tp.Tuple, tp.Any] = {}
+        self._val_fns: tp.Dict[tp.Tuple, tp.Any] = {}
+        init_fn, _ = make_train_step(
+            model_template, optimizer, force_training, force_weight,
+            nn_precision,
+        )
+        self.init = init_fn
+
+    # ---- batch plumbing ----
+    @staticmethod
+    def _to_host(batch: tp.Mapping[str, tp.Any]) -> tp.Dict[str, tp.Any]:
+        """Normalize one batch to canonical host dtypes."""
+        import numpy as np
+
+        out = {}
+        for k, v in batch.items():
+            if k == "angular_capacity":
+                continue
+            a = np.asarray(v)
+            if k == "species":
+                a = a.astype(np.int32, copy=False)
+            elif a.dtype.kind == "f":
+                a = a.astype(np.float32, copy=False)
+            out[k] = a
+        return out
+
+    @staticmethod
+    def _shape_key(hb: tp.Mapping[str, tp.Any]) -> tp.Tuple:
+        return tuple(
+            sorted((k, v.shape, str(v.dtype)) for k, v in hb.items())
+        )
+
+    def _group(self, batches):
+        """Yield (capacity, shape_key, [host batches]) runs of equal shape."""
+        cur_key, cur = None, []
+        for b in batches:
+            cap = (
+                int(b["angular_capacity"])
+                if "angular_capacity" in b
+                else None
+            )
+            hb = self._to_host(b)
+            key = (cap, self._shape_key(hb))
+            if key != cur_key or len(cur) == self._chunk:
+                if cur:
+                    yield cur_key[0], cur_key[1], cur
+                cur_key, cur = key, []
+            cur.append(hb)
+        if cur:
+            yield cur_key[0], cur_key[1], cur
+
+    @staticmethod
+    def _stack(group: tp.Sequence[tp.Mapping[str, tp.Any]]):
+        import numpy as np
+
+        return {
+            k: jnp.asarray(np.stack([hb[k] for hb in group]))
+            for k in group[0]
+        }
+
+    def _model_for(self, capacity: tp.Optional[int]) -> ANI:
+        return (
+            self._template
+            if capacity is None
+            else _model_with_angular_capacity(self._template, capacity)
+        )
+
+    # ---- training ----
+    def _runner(self, capacity, length, skey):
+        key = (capacity, length, skey)
+        if key not in self._runners:
+            if capacity not in self._steps:
+                _, step = make_train_step(
+                    self._model_for(capacity), self._optimizer,
+                    self._force_training, self._force_weight,
+                    self._nn_precision,
+                )
+                self._steps[capacity] = step
+            step = self._steps[capacity]
+
+            @jax.jit
+            def run(state, stacked):
+                def body(st, b):
+                    st, m = step(st, b)
+                    return st, m["loss"]
+
+                st, losses = jax.lax.scan(body, state, stacked)
+                return st, jnp.sum(losses)
+
+            self._runners[key] = run
+        return self._runners[key]
+
+    def epoch(
+        self, state: TrainState, batches: tp.Iterable[tp.Mapping[str, tp.Any]]
+    ) -> tp.Tuple[TrainState, tp.Dict[str, float]]:
+        """Run one epoch; returns ``(state, {"loss": mean, "steps": n})``.
+
+        ``batches`` may be any iterable of host batch dicts (e.g.
+        ``divisions["training"].shuffled(seed=epoch)``).
+        """
+        total = None
+        n = 0
+        for cap, skey, group in self._group(batches):
+            stacked = self._stack(group)
+            state, s = self._runner(cap, len(group), skey)(state, stacked)
+            total = s if total is None else total + s
+            n += len(group)
+        if n == 0:
+            return state, {"loss": float("nan"), "steps": 0}
+        return state, {"loss": float(total) / n, "steps": n}
+
+    # ---- validation ----
+    def _val_fn(self, capacity, length, skey):
+        key = (capacity, length, skey)
+        if key not in self._val_fns:
+            model_t = self._model_for(capacity)
+
+            @jax.jit
+            def run(networks, stacked):
+                model = _model_with_networks(model_t, networks)
+
+                def body(acc, b):
+                    pred = model(b["species"], b["coordinates"])
+                    err = pred - b["energies"]
+                    return (
+                        acc[0] + jnp.sum(err * err),
+                        acc[1] + err.shape[0],
+                    ), None
+
+                (sq, cnt), _ = jax.lax.scan(
+                    body, (jnp.zeros(()), 0), stacked
+                )
+                return sq, cnt
+
+            self._val_fns[key] = run
+        return self._val_fns[key]
+
+    def validate(
+        self, state: TrainState, batches: tp.Iterable[tp.Mapping[str, tp.Any]]
+    ) -> float:
+        """Energy RMSE (Ha) over ``batches``, compiled, one final fetch."""
+        total = None
+        count = 0
+        for cap, skey, group in self._group(batches):
+            stacked = self._stack(group)
+            sq, cnt = self._val_fn(cap, len(group), skey)(
+                state.networks, stacked
+            )
+            total = sq if total is None else total + sq
+            count += int(cnt)
+        if count == 0:
+            return float("nan")
+        import math as _math
+
+        return _math.sqrt(float(total) / count)
 
 
 def tune_angular_capacity(
