@@ -61,7 +61,7 @@ def main():
     from torchani_tpu import simple_ani
     from torchani_tpu.datasets import ANIDataset, batch_all_in_ram
     from torchani_tpu.sae import sorted_gsaes
-    from torchani_tpu.training import make_train_step
+    from torchani_tpu.training import EpochRunner
     from torchani_tpu.training.checkpoints import (
         latest_step,
         load_checkpoint,
@@ -90,37 +90,19 @@ def main():
     model = simple_ani(symbols, key=jax.random.PRNGKey(0))
     model = model.replace(energy_shifter=model.energy_shifter.replace(enabled=False))
     optimizer, plateau = adamw_with_plateau(args.lr)
-    init_fn, step_fn = make_train_step(
+    # EpochRunner = scanned device chunks + one host fetch per epoch +
+    # compiled validation (the naive per-batch float(loss) loop costs a
+    # ~30 ms device->host round-trip per step; docs/performance.md
+    # "Measurement rules")
+    runner = EpochRunner(
         model, optimizer, force_training=args.force_training
     )
-    step_jit = jax.jit(step_fn)
 
-    state = init_fn()
+    state = runner.init()
     restored = load_checkpoint(args.ckpt_dir, state)
     if restored is not None:
         state = restored
         print(f"resumed from step {int(state.step)}")
-
-    def to_batch(b):
-        out = {
-            "species": jnp.asarray(b["species"]),
-            "coordinates": jnp.asarray(b["coordinates"], dtype=jnp.float32),
-            "energies": jnp.asarray(b["energies"], dtype=jnp.float32),
-        }
-        if "forces" in b:
-            out["forces"] = jnp.asarray(b["forces"], dtype=jnp.float32)
-        return out
-
-    def validate(state):
-        from torchani_tpu.training.loop import _model_with_networks
-
-        m = _model_with_networks(model, state.networks)
-        errs = []
-        for b in divisions["validation"]:
-            jb = to_batch(b)
-            pred = m(jb["species"], jb["coordinates"])
-            errs.append(np.asarray(pred - jb["energies"]))
-        return float(np.sqrt(np.mean(np.concatenate(errs) ** 2)))
 
     from torchani_tpu.training import MetricsWriter
 
@@ -130,22 +112,21 @@ def main():
     writer = MetricsWriter(Path(args.ckpt_dir) / "metrics.jsonl", csv_mirror=True)
     for epoch in range(args.epochs):
         t0 = time.time()
-        losses = []
-        for b in divisions["training"].shuffled(seed=epoch):
-            state, metrics = step_jit(state, to_batch(b))
-            losses.append(float(metrics["loss"]))
-        val_rmse = validate(state)
+        state, metrics = runner.epoch(
+            state, divisions["training"].shuffled(seed=epoch)
+        )
+        val_rmse = runner.validate(state, divisions["validation"])
         lr = plateau.update(val_rmse)
         state.opt_state.hyperparams["learning_rate"] = lr
         print(
-            f"epoch {epoch:4d}  loss {np.mean(losses):.6f}  "
+            f"epoch {epoch:4d}  loss {metrics['loss']:.6f}  "
             f"val RMSE {val_rmse:.6f} Ha  lr {lr:.2e}  "
             f"({time.time() - t0:.1f}s)"
         )
         writer.write(
             epoch,
             {
-                "loss": np.mean(losses),
+                "loss": metrics["loss"],
                 "val_rmse": val_rmse,
                 "lr": lr,
                 "epoch_seconds": time.time() - t0,
