@@ -158,7 +158,7 @@ def main() -> None:
                     "tpu_parity": parity.get("tpu_parity"),
                     "tpu_parity_detail": {
                         k: parity.get(k)
-                        for k in ("strategies", "zoo", "pbc", "md")
+                        for k in ("strategies", "zoo", "pbc", "md", "hetero")
                     },
                     "rebuilds_in_window": int(state.rebuilds),
                     "neighbor_overflow": bool(state.overflow),

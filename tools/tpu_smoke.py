@@ -14,11 +14,25 @@ bench runs):
   `tests/resources/zoo_goldens_ani2x.npz` reference-scheme state dict),
   both strategies — the exact model class the headline bench runs.
 - ``pbc``: a periodic water cell, chip E/F vs the same code on the CPU
-  backend of this process (device-axis parity for the PBC path).
+  backend of this process (device-axis parity for the PBC path), plus an
+  on-chip ``pallas``-strategy variant vs the chip ``xla`` result (the
+  reference runs its extension parity on the real device,
+  ``tests/test_cuaev.py:22-27``).
 - ``md``: a 20-step jitted NVE trajectory on the chip vs the identical
   trajectory on CPU — final-step energy and force match plus an energy-
   drift guard (covers the Verlet-cache/bucket-refresh code the headline
-  bench exercises, on-device).
+  bench exercises, on-device) — plus an on-chip ``pallas`` trajectory vs
+  the chip ``xla`` one.
+- ``hetero``: the ANI-2dr model class (NNP + xTB repulsion + 8 A D3
+  dispersion on a small solvated HCNO peptide) — the per-potential
+  lane-prefix + pair-table + bucket-select + MTS machinery the config-5
+  bench runs, validated ON the chip against the plain ``single_point``
+  path (whose own chip-vs-CPU parity lanes 1-3 anchor): monolithic
+  lane-prefix driver E/F vs plain-path E/F, the RESPA lane split's
+  exactness at init, and an NVE conserved-energy drift gate on a short
+  k=4 segment proving the impulse split is sound on-device.  (A
+  chip-vs-CPU form was measured and rejected: the CPU side costs >10 min
+  of compiles at these shapes.)
 
 Importable (`run()` returns a dict, used by bench.py to record a
 ``tpu_parity`` field per round) or runnable:
@@ -183,6 +197,132 @@ def _md_trajectory(model, species, coords, cell, steps=20):
     )
 
 
+def _hetero_model():
+    """Deterministic ANI-2dr-class stack (NNP + repulsion + D3 at 8 A).
+
+    Random-init weights are identical across backends (threefry PRNG is
+    platform-independent), so chip-vs-CPU comparisons are exact-model.
+    """
+    import jax
+
+    import torchani_tpu as tt
+
+    return tt.simple_ani(
+        ("H", "C", "N", "O", "S", "F", "Cl"),
+        ensemble_size=1,
+        repulsion=True,
+        dispersion=True,
+        key=jax.random.PRNGKey(42),
+    )
+
+
+def _hetero_system(box: float = 32.0):
+    from torchani_tpu.testing import make_solvated_system
+
+    pdb = Path("/root/reference/dataset/pdb")
+    return make_solvated_system(
+        str(pdb / "small.pdb"), str(pdb / "water-0.8nm.pdb"), box=box
+    )
+
+
+def _hetero_plain_ef(model, z, coords, cell):
+    """E/F through the plain ``single_point`` path (cell-list neighborlist,
+    full-width tables — no lane prefixes, no bucket kernels) on the
+    CURRENT device.  This is the reference formulation the driver
+    machinery must agree with; its own chip-vs-CPU parity is anchored by
+    lanes 1-3."""
+    import jax
+    import jax.numpy as jnp
+
+    import torchani_tpu as tt
+    from torchani_tpu.neighbors import CellList
+
+    m = model.replace(neighborlist=CellList())
+    cl = jnp.asarray(np.asarray(cell))  # concrete BEFORE tracing: the
+    pbc = jnp.asarray([True, True, True])  # grid shape derives from its value
+
+    out = jax.jit(
+        lambda s, c: tt.single_point(
+            m, s, c, cell=cl, pbc=pbc, forces=True
+        )
+    )(jnp.asarray(z[None]), jnp.asarray(coords[None]))
+    return (
+        float(np.sum(np.asarray(out["energies"]))),
+        np.asarray(out["forces"])[0],
+    )
+
+
+def _hetero_drivers_ef(model, z, coords, cell):
+    """E/F via the monolithic lane-prefix MD driver (per-potential lane
+    prefixes + folded pair tables + D3 lane-select kernels) and via the
+    MTS lane split, both on the CURRENT device."""
+    from torchani_tpu.md import MolecularDynamics, MultipleTimestepMD
+
+    md = MolecularDynamics(
+        model, z[None], cell=cell, pbc=True, nn_precision="highest"
+    )
+    st = md.init(coords)
+    mts = MultipleTimestepMD(
+        model, z[None], cell=cell, pbc=True, every=4,
+        nn_precision="highest",
+    )
+    s2 = mts.init(coords)
+    return (
+        float(st.energy),
+        np.asarray(st.forces),
+        bool(st.overflow),
+        float(s2.energy),
+        np.asarray(s2.forces),
+    )
+
+
+def _no_shifter(model):
+    """Disable the SAE shifter: a coordinate-independent ~-50k Ha offset
+    whose f32 ulp (~4 mHa) would swamp any drift measurement."""
+    return model.replace(
+        energy_shifter=model.energy_shifter.replace(enabled=False)
+    )
+
+
+def _nve_drift(md, run, coords, steps):
+    import jax
+    import jax.numpy as jnp
+
+    from torchani_tpu.md import ACCEL_UNIT
+
+    st = md.init(coords, temperature=50.0, key=jax.random.PRNGKey(5))
+
+    def tot(s):
+        ke = 0.5 * float(
+            jnp.sum(md.masses[:, None] * s.velocities**2)
+        ) / ACCEL_UNIT
+        return float(s.energy) + ke
+
+    e0 = tot(st)
+    st = run(st, steps)
+    return tot(st) - e0, bool(st.overflow)
+
+
+def _hetero_mts(model, z, coords, cell, steps=8, every=4):
+    """NVE conserved-energy drift of a short RESPA segment vs the
+    monolithic driver's own drift on the same segment, both on the
+    CURRENT device (shifter disabled — see `_no_shifter`)."""
+    from torchani_tpu.md import MolecularDynamics, MultipleTimestepMD
+
+    model = _no_shifter(model)
+    mts = MultipleTimestepMD(
+        model, z[None], cell=cell, pbc=True, every=every,
+        timestep_fs=0.5, nn_precision="highest",
+    )
+    d_mts, ov_mts = _nve_drift(mts, mts.run, coords, steps)
+    mono = MolecularDynamics(
+        model, z[None], cell=cell, pbc=True, timestep_fs=0.5,
+        nn_precision="highest",
+    )
+    d_mono, ov_mono = _nve_drift(mono, mono.run_nve, coords, steps)
+    return d_mts, d_mono, ov_mts or ov_mono
+
+
 def run(fast: bool = False) -> dict:
     import jax
 
@@ -221,9 +361,24 @@ def run(fast: bool = False) -> dict:
             np.isfinite(pbc_e) and np.isfinite(pbc_f)
             and pbc_e < pbc_gate and pbc_f < F_ATOL
         )
+        # pallas variant ON the chip, gated against the chip xla result
+        e_pal, f_pal = _pbc_ef(_with_strategy(model, "pallas"), species,
+                               coords, cell)
+        pal_e = float(np.max(np.abs(e_pal - e_dev)))
+        pal_f = float(np.max(np.abs(f_pal - f_dev)))
+        pal_ok = bool(
+            np.isfinite(pal_e) and np.isfinite(pal_f)
+            and pal_e < pbc_gate and pal_f < F_ATOL
+        )
+        pbc_ok = pbc_ok and pal_ok
         out["pbc"] = {
             "e_maxerr": round(pbc_e, 9),
             "f_maxerr": round(pbc_f, 9),
+            "pallas": {
+                "e_maxerr": round(pal_e, 9),
+                "f_maxerr": round(pal_f, 9),
+                "ok": pal_ok,
+            },
             "ok": pbc_ok,
         }
 
@@ -246,13 +401,78 @@ def run(fast: bool = False) -> dict:
             and md_e < MD_E_ATOL and md_f < MD_F_ATOL
             and md_drift < MD_E_ATOL
         )
+        # pallas trajectory ON the chip vs the chip xla trajectory
+        e0_pal, e_pal, f_pal, ov_pal = _md_trajectory(
+            _with_strategy(model, "pallas"), species, coords, cell
+        )
+        mdp_e = abs(e_pal - e_dev)
+        mdp_f = float(np.max(np.abs(f_pal - f_dev)))
+        mdp_ok = bool(
+            not ov_pal
+            and np.isfinite(mdp_e) and np.isfinite(mdp_f)
+            and mdp_e < MD_E_ATOL and mdp_f < MD_F_ATOL
+        )
+        md_ok = md_ok and mdp_ok
         out["md"] = {
             "e_abserr": round(md_e, 9),
             "f_maxerr": round(md_f, 9),
             "drift_abserr": round(md_drift, 9),
+            "pallas": {
+                "e_abserr": round(mdp_e, 9),
+                "f_maxerr": round(mdp_f, 9),
+                "ok": mdp_ok,
+            },
             "ok": md_ok,
         }
         ok = ok and pbc_ok and md_ok
+
+        # lane 5: heterogeneous (ANI-2dr class), all ON the chip: the
+        # lane-prefix/bucket/MTS machinery vs the plain single_point path.
+        # The SAE shifter (a constant ~-50k Ha with ~4 mHa f32 ulp) is
+        # disabled so both the energy gates and the drift measurement
+        # resolve the interaction physics, not the offset's rounding.
+        hmodel = _no_shifter(_hetero_model())
+        z, hcoords, hcell = _hetero_system()
+        he_ref, hf_ref = _hetero_plain_ef(hmodel, z, hcoords, hcell)
+        he_dev, hf_dev, hov_dev, he_mts, hf_mts = _hetero_drivers_ef(
+            hmodel, z, hcoords, hcell
+        )
+        het_e = abs(he_dev - he_ref)
+        het_f = float(np.max(np.abs(hf_dev - hf_ref)))
+        het_gate = max(E_ATOL, 8.0 * float(np.spacing(abs(he_ref))))
+        het_ok = bool(
+            not hov_dev
+            and np.isfinite(het_e) and np.isfinite(het_f)
+            and het_e < het_gate and het_f < F_ATOL
+        )
+        # RESPA lane split exactness at init (fast + slow == monolithic)
+        split_e = abs(he_mts - he_dev)
+        split_f = float(np.max(np.abs(hf_mts - hf_dev)))
+        split_ok = bool(
+            np.isfinite(split_e) and np.isfinite(split_f)
+            and split_e < het_gate and split_f < F_ATOL
+        )
+        # NVE conserved-energy drift of the k=4 impulse split, on-chip,
+        # anchored against the monolithic integrator's drift on the same
+        # segment (the system has random weights and solvation contacts:
+        # "how much drift is the integrator's own" needs a baseline)
+        drift_mts, drift_mono, mov = _hetero_mts(hmodel, z, hcoords, hcell)
+        mts_ok = bool(
+            not mov
+            and np.isfinite(drift_mts) and np.isfinite(drift_mono)
+            and abs(drift_mts) < max(5e-3, 10.0 * abs(drift_mono))
+        )
+        het_ok = het_ok and split_ok and mts_ok
+        out["hetero"] = {
+            "e_abserr": round(het_e, 9),
+            "f_maxerr": round(het_f, 9),
+            "split_e_abserr": round(split_e, 9),
+            "split_f_maxerr": round(split_f, 9),
+            "mts_nve_drift_ha": round(float(drift_mts), 9),
+            "mono_nve_drift_ha": round(float(drift_mono), 9),
+            "ok": het_ok,
+        }
+        ok = ok and het_ok
 
     out["tpu_parity"] = "pass" if ok else "FAIL"
     return out

@@ -86,6 +86,13 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _lowering_targets_tpu() -> bool:
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def _perm_rows(x: Array, order: Array, inv: Array) -> Array:
     """Row permutation ``x[order]`` whose transpose is the INVERSE gather.
 
@@ -465,7 +472,9 @@ class AEVComputer(struct.PyTreeNode):
         s = self.num_species
         k_small, n_dense = tp.cast(tp.Tuple[int, int], self.angular_split)
         n = adist.shape[0]
-        counts = jnp.sum(amaskf, axis=1)
+        # permutation is topology, not physics: derive it from the
+        # stop-gradient mask so no AD pass ever linearizes the count sort
+        counts = jnp.sum(jax.lax.stop_gradient(amaskf), axis=1)
         _, order = jax.lax.top_k(counts, n)  # descending, f32 keys
         # inverse of a permutation is a sort, not a scatter: sorting
         # `order`'s (unique, < 2^24 so f32-exact) values carries iota into
@@ -852,9 +861,10 @@ def _angular_pallas_op(config, dist, diff, maskf, oh):
         cutoff_kind=kind,
         num_species=s,
         tile=16,
-        # off-TPU (CPU test/debug runs) the kernel must interpret — Mosaic
-        # only lowers for TPU
-        interpret=jax.default_backend() != "tpu",
+        # off-TPU (CPU test/debug runs, and `jax.default_device(cpu)`
+        # contexts like the on-chip smoke's CPU anchor) the kernel must
+        # interpret — Mosaic only lowers for TPU
+        interpret=not _lowering_targets_tpu(),
     )
 
 

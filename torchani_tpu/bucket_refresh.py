@@ -443,6 +443,13 @@ def _bwd_chunk(c, r, b, g16_ref, keys_ref, out_ref):
 
 
 def _interpret() -> bool:
+    # honor `jax.default_device(cpu)` contexts (the on-chip smoke compares
+    # the chip against the CPU backend of the SAME process): the backend
+    # list still leads with the TPU there, but lowering targets the
+    # default device's platform
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", None) != "tpu"
     return jax.default_backend() != "tpu"
 
 
