@@ -128,3 +128,12 @@ def test_md_traj(water_xyz, tmp_path, capsys):
     sp, co, _, _ = read_xyz(traj)
     assert co.shape == (4, 3, 3)
     assert np.isfinite(co).all()
+
+
+def test_md_mts(water_xyz, capsys):
+    main([
+        "md", str(water_xyz), "-m", "simple-dr", "-n", "8", "--timestep",
+        "0.25", "--temperature", "50", "--mts", "2",
+    ])
+    captured = capsys.readouterr().out
+    assert "T =" in captured and "step" in captured

@@ -34,6 +34,18 @@ def _build_model(name: str, ensemble_member: tp.Optional[int]):
             return factories[name](model_index=ensemble_member, pretrained=False)
     if name == "simple":
         return simple_ani(("H", "C", "N", "O"))
+    if name == "simple-dr":  # dispersion-bearing test model (MTS-capable)
+        return simple_ani(
+            ("H", "C", "N", "O"), repulsion=True, dispersion=True
+        )
+    if name == "ani2dr":
+        from torchani_tpu.models import ANI2dr
+
+        try:
+            return ANI2dr(model_index=ensemble_member)
+        except FileNotFoundError as e:
+            print(f"warning: {e}; using random-init weights", file=sys.stderr)
+            return ANI2dr(model_index=ensemble_member, pretrained=False)
     raise SystemExit(f"Unknown model {name!r}")
 
 
@@ -78,14 +90,31 @@ def cmd_md(args) -> None:
     ensemble = args.md_ensemble
     if ensemble in ("npt",) and not periodic:
         raise SystemExit("NPT requires a periodic cell in the xyz Lattice")
-    md = MolecularDynamics(
-        model,
-        species[:1],
-        cell=cell if periodic else None,
-        pbc=periodic,
-        timestep_fs=args.timestep,
-        npt_compression=0.1 if ensemble == "npt" else 0.0,
-    )
+    mts_every = getattr(args, "mts", 0) or 0
+    if mts_every > 1:
+        if args.traj:
+            raise SystemExit("--traj is not supported with --mts yet")
+        if ensemble not in ("nve", "nvt"):
+            raise SystemExit("--mts supports NVE and Langevin NVT only")
+        from torchani_tpu.md import MultipleTimestepMD
+
+        md = MultipleTimestepMD(
+            model,
+            species[:1],
+            cell=cell if periodic else None,
+            pbc=periodic,
+            every=mts_every,
+            timestep_fs=args.timestep,
+        )
+    else:
+        md = MolecularDynamics(
+            model,
+            species[:1],
+            cell=cell if periodic else None,
+            pbc=periodic,
+            timestep_fs=args.timestep,
+            npt_compression=0.1 if ensemble == "npt" else 0.0,
+        )
     state = md.init(coords[0], temperature=args.temperature, key=jax.random.PRNGKey(args.seed))
     params = {}
     if ensemble in ("nvt", "nvt-nhc", "npt"):
@@ -94,10 +123,18 @@ def cmd_md(args) -> None:
         params["pressure_bar"] = args.pressure
     frames = []
     chunk = max(1, min(args.steps, 50))
+    if mts_every > 1:
+        chunk = -(-chunk // mts_every) * mts_every
     done = 0
     while done < args.steps:
         n = min(chunk, args.steps - done)
-        if args.traj:
+        if mts_every > 1:
+            n = (n // mts_every) * mts_every or mts_every
+            state = md.run(
+                state, n, ensemble="langevin" if ensemble == "nvt" else "nve",
+                **params,
+            )
+        elif args.traj:
             rec = max(1, min(args.record_every, n))
             n = (n // rec) * rec or rec
             state, traj = md.trajectory(
@@ -114,10 +151,9 @@ def cmd_md(args) -> None:
             state = md.run_nve(state, n)
         done += n
         temp = float(kinetic_temperature(state.velocities, md.masses))
+        scale = getattr(state, "scale", None)
         extra = (
-            f"  V/V0 = {float(state.scale) ** 3:.4f}"
-            if state.scale is not None
-            else ""
+            f"  V/V0 = {float(scale) ** 3:.4f}" if scale is not None else ""
         )
         print(
             f"step {done:8d}  E = {float(state.energy):14.6f} Ha  "
@@ -439,6 +475,14 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         help="Berendsen NPT (isotropic; periodic systems)",
     )
     p.add_argument("--pressure", type=float, default=1.0, help="bar (NPT)")
+    p.add_argument(
+        "--mts",
+        type=int,
+        default=0,
+        help="RESPA multiple-timestep: evaluate long-cutoff potentials "
+        "(e.g. D3 dispersion) every N steps (needs a model with such a "
+        "potential, e.g. --model ani2dr)",
+    )
     p.add_argument("--traj", default=None, help="write frames to this xyz")
     p.add_argument("--record-every", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
