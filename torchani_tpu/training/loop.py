@@ -433,10 +433,14 @@ def tune_angular_split(
     Returns a model copy.
 
     Use for ENERGY-ONLY training steps: measured (v5e, batch 2560, Ka=12,
-    50-deep scans) e-only 10.4 -> 8.0 ms/step (+30%), but force training
-    29.7 -> 43.0 ms/step — the count-sort permutation pair rides through
-    the force grad-of-grad and costs more than the split saves.  Do not
-    combine with ``force_training=True``.
+    50-deep scans, r4) e-only 10.1 -> 6.4 ms/step (+58%, 398k samples/s).
+    Force training with the split is no longer catastrophic (the r2
+    custom_vjp permutations transposed to scatters under grad-of-grad —
+    43 ms/step; the `perm_gather` primitive fixed that) but remains a
+    mild net loss there (35.5 vs 30.7 ms/step: the sort/permutation
+    machinery replays across the extra AD passes while dense synthetic
+    batches offer little count skew), so prefer it for energy-only
+    regimes and measure before combining with ``force_training=True``.
     """
     import numpy as np
 
