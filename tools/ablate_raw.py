@@ -129,6 +129,42 @@ def main():
 
     timeit("raw_fb", raw)
 
+    # f) cleanly-split from-scratch path: stop-grad topology build, then an
+    # explicit refresh-style differentiable diff recompute (algebraically
+    # identical — the build's screen is already stop-grad and _finalize's
+    # diff is exactly coords[j] - coords[i] + shift)
+    from torchani_tpu.neighbors import Neighbors
+
+    def split_raw(c):
+        cflat = c[0]
+        nb = cell_list(
+            cutoff, elem, jax.lax.stop_gradient(c), cell, pbc,
+            capacity=args.capacity,
+        )
+        idx0 = jnp.where(nb.mask, nb.idx, 0)[0]
+        pos = jax.lax.stop_gradient(cflat)
+        shift = nb.diff[0] - (jnp.take(pos, idx0, axis=0) - pos[:, None, :])
+        shift = jnp.where(nb.mask[0][..., None], shift, 0.0)
+
+        def energy(cc):
+            pj = jnp.take(cc[0], idx0, axis=0)
+            diff = pj - cc[0][:, None, :] + shift
+            diff = jnp.where(nb.mask[0][..., None], diff, 0.0)
+            dist = jnp.sqrt(
+                jnp.where(nb.mask[0], jnp.sum(diff * diff, -1), 1.0)
+            )
+            nbd = Neighbors(
+                idx=nb.idx, mask=nb.mask, diff=diff[None], dist=dist[None],
+                overflow=nb.overflow,
+            )
+            out = model.compute_from_neighbors(elem, cc, nbd)
+            return jnp.sum(out.energies)
+
+        e, g = jax.value_and_grad(energy)(c)
+        return e + jnp.sum(g)
+
+    timeit("split_fb", split_raw)
+
 
 if __name__ == "__main__":
     main()
