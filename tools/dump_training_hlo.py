@@ -63,8 +63,11 @@ def main():
     )
     state = init_fn()
 
+    # batch rides as a jit ARGUMENT (traced species) to match
+    # profile_training.py exactly — a closed-over concrete batch would
+    # compile the static-species specialization, different fusions
     @jax.jit
-    def chunk(state):
+    def chunk(state, batch):
         def body(st, _):
             st, metrics = step_fn(st, batch)
             return st, metrics["loss"]
@@ -72,7 +75,7 @@ def main():
         return jax.lax.scan(body, state, None, length=3)
 
     print("lowering+compiling...", flush=True)
-    compiled = chunk.lower(state).compile()
+    compiled = chunk.lower(state, batch).compile()
     text = compiled.as_text()
     Path("/tmp/train_hlo.txt").write_text(text)
     print(f"wrote /tmp/train_hlo.txt ({len(text)} chars)", flush=True)
