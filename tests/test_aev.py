@@ -247,3 +247,51 @@ def test_angular_count_split_matches_unsplit():
     too_small = base.replace(angular_split=(8, 2))
     out = aev(coords, too_small)
     assert not bool(jnp.isfinite(out).all())
+
+
+def test_angular_layout_variants_agree():
+    """The three packed/grid angular formulations are numerically the same
+    function (values and coordinate gradients), across the layout-switch
+    boundary (small-Kp atoms-last vs pair-last vs grid)."""
+    import numpy as np
+
+    from torchani_tpu.aev.computer import (
+        _angular_rows_grid,
+        _angular_rows_packed,
+        _angular_rows_packed_atoms_last,
+    )
+    from torchani_tpu.aev.terms import ANIAngular
+
+    angular = ANIAngular.like_2x()
+    rng = np.random.RandomState(0)
+    m, ka, s = 160, 12, 4
+    dist = jnp.asarray(rng.uniform(0.8, 3.4, (m, ka)).astype(np.float32))
+    diff = jnp.asarray(rng.randn(m, ka, 3).astype(np.float32))
+    # normalize diff to match dist (the math uses both consistently)
+    diff = diff / jnp.linalg.norm(diff, axis=-1, keepdims=True) * dist[..., None]
+    mask = rng.rand(m, ka) < 0.7
+    maskf = jnp.asarray(mask.astype(np.float32))
+    dist = jnp.where(maskf > 0.5, dist, 1.0)
+    diff = diff * maskf[..., None]
+    elem = rng.randint(0, s, (m, ka))
+    oh = jax.nn.one_hot(jnp.asarray(np.where(mask, elem, -1)), s)
+
+    def total(fn):
+        def f(d):
+            return jnp.sum(jnp.sin(fn(angular, s, dist, d, maskf, oh) * 3.0))
+
+        return f
+
+    outs = []
+    grads = []
+    for fn in (
+        _angular_rows_grid,
+        _angular_rows_packed,
+        _angular_rows_packed_atoms_last,
+    ):
+        outs.append(np.asarray(fn(angular, s, dist, diff, maskf, oh)))
+        grads.append(np.asarray(jax.grad(total(fn))(diff)))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(grads[0], grads[1], rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(grads[0], grads[2], rtol=2e-4, atol=1e-5)

@@ -678,6 +678,103 @@ def _angular_rows_packed(
     return packed.reshape(m, p * z)
 
 
+def _angular_rows_packed_atoms_last(
+    angular: BaseAngular,
+    num_species: int,
+    dist: Array,  # (M, Ka), masked lanes 1.0
+    diff: Array,  # (M, Ka, 3)
+    maskf: Array,  # (M, Ka) float 0/1
+    oh: Array,  # (M, Ka, S), zero rows in masked lanes
+    present: tp.Optional[tp.Tuple[int, ...]] = None,
+) -> Array:
+    """Packed-triangle angular path with the ATOM axis last (in lanes).
+
+    `_angular_rows_packed` keeps the pair axis last because at MD
+    capacities it is long (Ka=28 -> 378 pair lanes ~ 3 full 128-lane VPU
+    tiles).  At training capacities it is short — Ka=12 packs to 66
+    lanes, so every (M, Z, Kp) stream runs its tiles at <=56% lane
+    utilization and the (M, Z) species sums at ~3% (HLO layouts
+    T(8,128)/T(4,128) with 72/4-wide minor dims; r4 profile).  This
+    variant transposes every stream so the atom-block axis (>=128 rows)
+    rides the lanes and the short pair/feature axes ride sublanes.
+    Math identical; selected by `_angular_rows` when the packed pair
+    count is below one lane tile.  Measured: e+f training at Ka=12
+    30.7 -> 23.3 ms/step (docs/performance.md).
+    """
+    m, ka = dist.shape
+    s = num_species
+    gj_np, gk_np, _ = _packed_pair_selectors(ka)
+    kp = gj_np.shape[1]
+    sp = tuple(range(s)) if present is None else present
+    fast = type(angular) is ANIAngular
+    feats = [dist, diff[:, :, 0], diff[:, :, 1], diff[:, :, 2]]
+    if fast:
+        feats.append(angular.cutoff_fn(dist, angular.cutoff) * maskf)
+    else:
+        feats.append(maskf)
+    feats.extend(oh[:, :, t] for t in sp)
+    f = len(feats)
+    # selector on the LHS: (Kp, Ka) @ (Ka, F*M) — every downstream op
+    # then streams over the long atom axis in the lane dimension
+    stacked = jnp.stack(feats, axis=0)  # (F, M, Ka)
+    st = stacked.transpose(2, 0, 1).reshape(ka, f * m)
+    side_j = jnp.dot(
+        jnp.asarray(gj_np.T), st, precision=_HIGHEST
+    ).reshape(kp, f, m)
+    side_k = jnp.dot(
+        jnp.asarray(gk_np.T), st, precision=_HIGHEST
+    ).reshape(kp, f, m)
+    dj, dk = side_j[:, 0], side_k[:, 0]  # (Kp, M)
+    dots = jnp.sum(side_j[:, 1:4] * side_k[:, 1:4], axis=1)  # (Kp, M)
+    # padded pair lanes have all-zero selector columns -> dj = dk = 0 there
+    cosang = dots / jnp.clip(dj * dk, min=1e-10)
+    z = angular.num_feats
+    if fast:
+        envelope = side_j[:, 4] * side_k[:, 4]  # (Kp, M)
+        mean = 0.5 * (dj + dk)
+        shifts = angular.shifts[:, None, None]  # (Sh, 1, 1)
+        rad_t = jnp.exp(
+            -angular.eta[0] * (mean[None] - shifts) ** 2
+        )  # (Sh, Kp, M)
+        c = 0.95 * cosang
+        sin_t = jnp.sqrt(1.0 - c * c)
+        sections = angular.sections[:, None, None]  # (Se, 1, 1)
+        cos_dev = (
+            c[None] * jnp.cos(sections) + sin_t[None] * jnp.sin(sections)
+        )
+        ang_t = 2 * ((1 + cos_dev) / 2) ** angular.zeta[0]  # (Se, Kp, M)
+        terms = (
+            rad_t[:, None, :, :] * ang_t[None, :, :, :]
+        ).reshape(z, kp, m) * envelope[None]  # (Z, Kp, M)
+    else:
+        pmaskf = side_j[:, 4] * side_k[:, 4]
+        terms = angular(
+            jnp.where(pmaskf > 0.5, dj, 1.0),
+            jnp.where(pmaskf > 0.5, dk, 1.0),
+            cosang,
+        ) * pmaskf[..., None]  # (Kp, M, Z)
+        terms = terms.transpose(2, 0, 1)  # (Z, Kp, M)
+    ohj = {t: side_j[:, 5 + i] for i, t in enumerate(sp)}  # (Kp, M) each
+    ohk = {t: side_k[:, 5 + i] for i, t in enumerate(sp)}
+    triu = _triu_index(s)
+    slots: tp.Dict[int, Array] = {}
+    for i, t1 in enumerate(sp):
+        for t2 in sp[i:]:
+            if t1 == t2:
+                w = ohj[t1] * ohk[t1]
+            else:
+                w = ohj[t1] * ohk[t2] + ohj[t2] * ohk[t1]
+            slots[int(triu[t1, t2])] = jnp.sum(
+                terms * w[None], axis=1
+            )  # (Z, M)
+    p = s * (s + 1) // 2
+    zero = jnp.zeros((z, m), terms.dtype)
+    packed = jnp.stack(
+        [slots.get(j, zero) for j in range(p)], axis=0
+    )  # (P, Z, M)
+    return packed.reshape(p * z, m).T
+
+
 def _angular_rows(
     angular: BaseAngular,
     num_species: int,
@@ -695,7 +792,15 @@ def _angular_rows(
     # one contraction pass per present species *pair*; wins for few species
     # (MD on molecular liquids), loses for many-species training batches
     # where the two-sided grid contraction is O(S) passes instead of O(S^2).
-    if sp_count <= 4 and dist.shape[1] >= 12:
+    ka = dist.shape[1]
+    if sp_count <= 4 and ka >= 12:
+        # short packed pair axis (under one 128-lane tile): atom-last
+        # layout keeps the VPU tiles full (training capacities); long
+        # pair axis (MD capacities): pair-last layout streams over it
+        if ka * (ka - 1) // 2 < 128 and dist.shape[0] >= 128:
+            return _angular_rows_packed_atoms_last(
+                angular, num_species, dist, diff, maskf, oh, present
+            )
         return _angular_rows_packed(
             angular, num_species, dist, diff, maskf, oh, present
         )
