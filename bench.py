@@ -44,10 +44,29 @@ def _wait_for_backend(max_wait_s: float = 900.0) -> None:
             time.sleep(30.0)
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (off by default in this env).
+
+    The bench compiles ~20 programs (MD scans, smoke lanes); over the
+    tunneled chip that is tens of minutes of pure compilation.  The disk
+    cache makes repeat runs (and the driver's end-of-round run after a
+    local warmup) near-instant on the compile side.
+    """
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        cache = Path(__file__).resolve().parent / ".jax_cache"
+        cache.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main() -> None:
     _wait_for_backend()
 
     import jax
+
+    _enable_compile_cache()
     import jax.numpy as jnp
 
     from torchani_tpu.grad import energies_and_forces

@@ -252,81 +252,74 @@ def _hetero_plain_ef(model, z, coords, cell):
     )
 
 
-def _hetero_drivers_ef(model, z, coords, cell):
-    """E/F via the monolithic lane-prefix MD driver (per-potential lane
-    prefixes + folded pair tables + D3 lane-select kernels) and via the
-    MTS lane split, both on the CURRENT device."""
-    from torchani_tpu.md import MolecularDynamics, MultipleTimestepMD
-
-    md = MolecularDynamics(
-        model, z[None], cell=cell, pbc=True, nn_precision="highest"
-    )
-    st = md.init(coords)
-    mts = MultipleTimestepMD(
-        model, z[None], cell=cell, pbc=True, every=4,
-        nn_precision="highest",
-    )
-    s2 = mts.init(coords)
-    return (
-        float(st.energy),
-        np.asarray(st.forces),
-        bool(st.overflow),
-        float(s2.energy),
-        np.asarray(s2.forces),
-    )
-
-
 def _no_shifter(model):
     """Disable the SAE shifter: a coordinate-independent ~-50k Ha offset
-    whose f32 ulp (~4 mHa) would swamp any drift measurement."""
+    whose f32 ulp (~4 mHa) would swamp both the energy gates and any
+    drift measurement."""
     return model.replace(
         energy_shifter=model.energy_shifter.replace(enabled=False)
     )
 
 
-def _nve_drift(md, run, coords, steps):
+def _hetero_drivers(model, z, coords, cell, steps=8, every=4):
+    """One monolithic lane-prefix driver + one RESPA driver on the
+    CURRENT device, each built ONCE (compiles are this lane's dominant
+    cost): E/F at init from both (lane prefixes + folded pair tables +
+    D3 lane-select kernels; RESPA split exactness), then a short NVE
+    segment on the SAME instances for the conserved-energy drift
+    comparison."""
     import jax
     import jax.numpy as jnp
 
-    from torchani_tpu.md import ACCEL_UNIT
-
-    st = md.init(coords, temperature=50.0, key=jax.random.PRNGKey(5))
-
-    def tot(s):
-        ke = 0.5 * float(
-            jnp.sum(md.masses[:, None] * s.velocities**2)
-        ) / ACCEL_UNIT
-        return float(s.energy) + ke
-
-    e0 = tot(st)
-    st = run(st, steps)
-    return tot(st) - e0, bool(st.overflow)
-
-
-def _hetero_mts(model, z, coords, cell, steps=8, every=4):
-    """NVE conserved-energy drift of a short RESPA segment vs the
-    monolithic driver's own drift on the same segment, both on the
-    CURRENT device (shifter disabled — see `_no_shifter`)."""
-    from torchani_tpu.md import MolecularDynamics, MultipleTimestepMD
-
-    model = _no_shifter(model)
-    mts = MultipleTimestepMD(
-        model, z[None], cell=cell, pbc=True, every=every,
-        timestep_fs=0.5, nn_precision="highest",
+    from torchani_tpu.md import (
+        ACCEL_UNIT,
+        MolecularDynamics,
+        MultipleTimestepMD,
     )
-    d_mts, ov_mts = _nve_drift(mts, mts.run, coords, steps)
+
+    def tot(md, s_):
+        ke = 0.5 * float(
+            jnp.sum(md.masses[:, None] * s_.velocities**2)
+        ) / ACCEL_UNIT
+        return float(s_.energy) + ke
+
     mono = MolecularDynamics(
         model, z[None], cell=cell, pbc=True, timestep_fs=0.5,
         nn_precision="highest",
     )
-    d_mono, ov_mono = _nve_drift(mono, mono.run_nve, coords, steps)
-    return d_mts, d_mono, ov_mts or ov_mono
+    st = mono.init(coords, temperature=50.0, key=jax.random.PRNGKey(5))
+    e_mono, f_mono = float(st.energy), np.asarray(st.forces)
+    e0 = tot(mono, st)
+    st = mono.run_nve(st, steps)
+    d_mono = tot(mono, st) - e0
+    ov = bool(st.overflow)
+
+    mts = MultipleTimestepMD(
+        model, z[None], cell=cell, pbc=True, every=every,
+        timestep_fs=0.5, nn_precision="highest",
+    )
+    s2 = mts.init(coords, temperature=50.0, key=jax.random.PRNGKey(5))
+    e_mts, f_mts = float(s2.energy), np.asarray(s2.forces)
+    e0 = tot(mts, s2)
+    s2 = mts.run(s2, steps)
+    d_mts = tot(mts, s2) - e0
+    ov = ov or bool(s2.overflow)
+    return e_mono, f_mono, e_mts, f_mts, d_mts, d_mono, ov
 
 
 def run(fast: bool = False) -> dict:
     import jax
 
     import torchani_tpu  # noqa: F401  (device selection side effects)
+
+    # persistent compile cache (standalone runs; bench.py sets it too)
+    if jax.config.jax_compilation_cache_dir is None:
+        cache = Path(__file__).resolve().parent.parent / ".jax_cache"
+        cache.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
 
     out: dict = {"device": str(jax.devices()[0])}
 
@@ -434,14 +427,14 @@ def run(fast: bool = False) -> dict:
         hmodel = _no_shifter(_hetero_model())
         z, hcoords, hcell = _hetero_system()
         he_ref, hf_ref = _hetero_plain_ef(hmodel, z, hcoords, hcell)
-        he_dev, hf_dev, hov_dev, he_mts, hf_mts = _hetero_drivers_ef(
-            hmodel, z, hcoords, hcell
-        )
+        (
+            he_dev, hf_dev, he_mts, hf_mts, drift_mts, drift_mono, mov,
+        ) = _hetero_drivers(hmodel, z, hcoords, hcell)
         het_e = abs(he_dev - he_ref)
         het_f = float(np.max(np.abs(hf_dev - hf_ref)))
         het_gate = max(E_ATOL, 8.0 * float(np.spacing(abs(he_ref))))
         het_ok = bool(
-            not hov_dev
+            not mov
             and np.isfinite(het_e) and np.isfinite(het_f)
             and het_e < het_gate and het_f < F_ATOL
         )
@@ -456,10 +449,8 @@ def run(fast: bool = False) -> dict:
         # anchored against the monolithic integrator's drift on the same
         # segment (the system has random weights and solvation contacts:
         # "how much drift is the integrator's own" needs a baseline)
-        drift_mts, drift_mono, mov = _hetero_mts(hmodel, z, hcoords, hcell)
         mts_ok = bool(
-            not mov
-            and np.isfinite(drift_mts) and np.isfinite(drift_mono)
+            np.isfinite(drift_mts) and np.isfinite(drift_mono)
             and abs(drift_mts) < max(5e-3, 10.0 * abs(drift_mono))
         )
         het_ok = het_ok and split_ok and mts_ok
