@@ -151,6 +151,47 @@ def main() -> None:
     _ = float(e)
     cached_sp_ms = (time.perf_counter() - t0) / sp_iters * 1e3
 
+    # Heterogeneous MD (BASELINE config 5): solvated 1hz5 protein,
+    # ANI-2dr-class stack under the RESPA multiple-timestep driver —
+    # same configuration as tools/hetero_md_benchmark.py --mts 4 (shared
+    # shapes keep the persistent compile cache hot across both).
+    try:
+        from torchani_tpu.md import MultipleTimestepMD
+        from torchani_tpu.testing import make_solvated_system
+        import torchani_tpu as tt
+
+        pdb_dir = "/root/reference/dataset/pdb"
+        hz, hcoords, hcell = make_solvated_system(
+            f"{pdb_dir}/1hz5.pdb", f"{pdb_dir}/water-0.8nm.pdb", box=55.0
+        )
+        hmodel = tt.simple_ani(
+            ("H", "C", "N", "O", "S", "F", "Cl"),
+            "wb97x-631gd",
+            ensemble_size=8,
+            repulsion=True,
+            dispersion=True,
+        )
+        hmd = MultipleTimestepMD(
+            hmodel, hz[None], cell=hcell, pbc=True, every=4
+        )
+        hsteps = 48
+        hstate = hmd.init(hcoords[None], temperature=300.0)
+        hstate = hmd.run(hstate, hsteps)  # warmup, same scan length
+        _ = float(hstate.energy)
+        t0 = time.perf_counter()
+        hstate = hmd.run(hstate, hsteps)
+        _ = float(hstate.energy)
+        h_dt = (time.perf_counter() - t0) / hsteps
+        hetero = {
+            "atoms": int(len(hz)),
+            "ms_per_step": round(h_dt * 1e3, 3),
+            "ns_per_day": round(86400.0 / h_dt * 1e-6, 3),
+            "mts_every": 4,
+            "energy_finite": bool(np.isfinite(float(hstate.energy))),
+        }
+    except Exception as exc:  # record, don't kill the bench line
+        hetero = {"error": str(exc)[:200]}
+
     # On-device golden parity (no pytest runs on the real chip; this is the
     # per-round numerical check, tools/tpu_smoke.py)
     try:
@@ -174,6 +215,7 @@ def main() -> None:
                     "raw_ef_ms_per_step": round(dt * 1e3, 3),
                     "cached_sp_ms": round(cached_sp_ms, 3),
                     "raw_ef_us_per_atom": round(us_per_atom, 4),
+                    "hetero_mts": hetero,
                     "tpu_parity": parity.get("tpu_parity"),
                     "tpu_parity_detail": {
                         k: parity.get(k)
