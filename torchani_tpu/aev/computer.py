@@ -934,6 +934,12 @@ def _angular_xla(
             # a save-names policy measured SLOWER at MD shapes — see
             # docs/performance.md "measured and rejected")
             body = jax.checkpoint(body)
+        # Known residual (r4 HLO audit): XLA lays this loop's accumulator
+        # out transposed ({1,0,2}), paying a copy + strided update-slice
+        # per block (~1.1 ms/step of the MD AEV stage).  Emitting the
+        # block output transposed measured a WASH (4.58 vs 4.66 ms — the
+        # copy just moves sides); no jax-level layout control exists for
+        # loop carries, so this stays the documented r5 lever.
         out = jax.lax.map(
             body,
             tuple(reshape_blk(x) for x in args),
