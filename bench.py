@@ -162,7 +162,8 @@ def main() -> None:
 
         pdb_dir = "/root/reference/dataset/pdb"
         hz, hcoords, hcell = make_solvated_system(
-            f"{pdb_dir}/1hz5.pdb", f"{pdb_dir}/water-0.8nm.pdb", box=55.0
+            f"{pdb_dir}/1hz5.pdb", f"{pdb_dir}/water-0.8nm.pdb", box=55.0,
+            clash=2.2,
         )
         hmodel = tt.simple_ani(
             ("H", "C", "N", "O", "S", "F", "Cl"),
@@ -171,15 +172,37 @@ def main() -> None:
             repulsion=True,
             dispersion=True,
         )
+        # EQUILIBRATE (dt 0.25, strong Langevin), RE-MEASURE with a fresh
+        # driver at the settled configuration, then time thermostatted
+        # 1 fs steps — the raw solvated start relaxes for 100+ steps and
+        # timing that window measures a chaotic rebuild storm
+        # (tools/hetero_md_benchmark.py documents the protocol).
+        eq = MultipleTimestepMD(
+            hmodel, hz[None], cell=hcell, pbc=True, every=4,
+            timestep_fs=0.25,
+        )
+        hstate = eq.init(hcoords[None], temperature=300.0)
+        hstate = eq.run(
+            hstate, 800, ensemble="langevin", temperature=300.0,
+            friction_per_fs=0.1,
+        )
+        hc_eq = np.asarray(hstate.coords)
+        hv_eq = jnp.asarray(np.asarray(hstate.velocities))
         hmd = MultipleTimestepMD(
             hmodel, hz[None], cell=hcell, pbc=True, every=4
         )
         hsteps = 48
-        hstate = hmd.init(hcoords[None], temperature=300.0)
-        hstate = hmd.run(hstate, hsteps)  # warmup, same scan length
+        hstate = hmd.init(hc_eq)
+        hstate = hstate.replace(
+            fast=hstate.fast.replace(velocities=hv_eq)
+        )
+        hrun = lambda st: hmd.run(  # noqa: E731
+            st, hsteps, ensemble="langevin", temperature=300.0
+        )
+        hstate = hrun(hstate)  # warmup, same scan length
         _ = float(hstate.energy)
         t0 = time.perf_counter()
-        hstate = hmd.run(hstate, hsteps)
+        hstate = hrun(hstate)
         _ = float(hstate.energy)
         h_dt = (time.perf_counter() - t0) / hsteps
         hetero = {
@@ -187,6 +210,7 @@ def main() -> None:
             "ms_per_step": round(h_dt * 1e3, 3),
             "ns_per_day": round(86400.0 / h_dt * 1e-6, 3),
             "mts_every": 4,
+            "protocol": "equilibrated, Langevin-timed",
             "energy_finite": bool(np.isfinite(float(hstate.energy))),
         }
     except Exception as exc:  # record, don't kill the bench line

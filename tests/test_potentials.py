@@ -86,3 +86,27 @@ def test_forces(goldens, name):
 
     f = -np.asarray(jax.grad(total)(jnp.asarray(goldens["coords"])))
     np.testing.assert_allclose(f, goldens[f"{name}_forces"], atol=1e-5, rtol=1e-4)
+
+
+def test_d3_factorized_matches_literal_grid(goldens):
+    """The factorized CN-reference Gaussian path (5 exps per atom) equals
+    the literal 25-channel pair grid (values and gradients): the Grimme
+    interpolation channels are the product grid of per-element reference
+    lists, so exp(-K3(a^2+b^2)) factors exactly."""
+    pot = _make("d3")
+    assert pot.cn_refs is not None, "factorization should verify for HCNOS"
+    literal = pot.replace(cn_refs=None)
+    elem = jnp.asarray(goldens["elem"])
+    coords = jnp.asarray(goldens["coords"])
+
+    e_new = np.asarray(pot(elem, coords, atomic_nums_input=False))
+    e_old = np.asarray(literal(elem, coords, atomic_nums_input=False))
+    np.testing.assert_allclose(e_new, e_old, rtol=1e-5, atol=1e-8)
+
+    def total(p, c):
+        return jnp.sum(p(elem, c, atomic_nums_input=False))
+
+    g_new = np.asarray(jax.grad(lambda c: total(pot, c))(coords))
+    g_old = np.asarray(jax.grad(lambda c: total(literal, c))(coords))
+    assert np.isfinite(g_new).all()
+    np.testing.assert_allclose(g_new, g_old, rtol=1e-4, atol=1e-7)

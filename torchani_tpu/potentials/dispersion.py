@@ -42,6 +42,17 @@ class TwoBodyDispersionD3(BasePairPotential):
     sqrt_charge_ab: Array = None  # (S, S)
     damp_radii: Array = None  # (S, S) BJ cutoff radii (Bohr)
     covalent_radii: Array = None  # (S,) Bohr
+    # Factorized CN-reference table (S, 5): Grimme's 25 interpolation
+    # channels for pair (i, j) are the product grid of i's and j's <=5
+    # per-ELEMENT coordination-number references (verified from the c6
+    # tables at construction), so the (N, K, 25) Gaussian weights factor
+    # into per-ATOM (N, 5) exponential tables combined per lane by pure
+    # FMAs — 25 transcendentals per PAIR become 5 per ATOM.  Rows with
+    # fewer than 5 references pad with 1e4 (their exp underflows to an
+    # exact 0 and the c6<=0 channel mask removes them anyway).  None =
+    # factorization could not be verified; the literal 25-channel pair
+    # form runs instead.
+    cn_refs: Array = None  # (S, 5)
     s6: float = struct.field(pytree_node=False, default=1.0)
     s8: float = struct.field(pytree_node=False, default=1.0)
     a1: float = struct.field(pytree_node=False, default=0.0)
@@ -91,6 +102,26 @@ class TwoBodyDispersionD3(BasePairPotential):
         znums = np.asarray([ATOMIC_NUMBER[s] for s in symbols])
         s = len(symbols)
         sel = lambda t: np.asarray(t)[znums][:, znums].reshape(s, s, 25)  # noqa: E731
+
+        # Derive and VERIFY the per-element CN reference factorization
+        # (see `cn_refs`); fall back to the literal pair grid on any
+        # inconsistency rather than risk wrong physics.
+        grid_a = sel(c6["coordnums_a"]).reshape(s, s, 5, 5)
+        grid_b = sel(c6["coordnums_b"]).reshape(s, s, 5, 5)
+        grid_c = sel(c6["constants"]).reshape(s, s, 5, 5)
+        cn_refs = np.full((s, 5), 1.0e4, np.float32)
+        factorized = True
+        for zi in range(s):
+            for r in range(5):
+                va = grid_a[zi, :, r, :][grid_c[zi, :, r, :] > 0]
+                vb = grid_b[:, zi, :, r][grid_c[:, zi, :, r] > 0]
+                vals = np.concatenate([va, vb])
+                if vals.size == 0:
+                    continue
+                if float(vals.max() - vals.min()) > 1e-6:
+                    factorized = False
+                cn_refs[zi, r] = float(vals[0])
+
         return cls(
             symbols=symbols,
             cutoff=cutoff,
@@ -105,6 +136,7 @@ class TwoBodyDispersionD3(BasePairPotential):
                 np.sqrt(3 * np.outer(sqrt_q, sqrt_q)).astype(np.float32)
             ),
             covalent_radii=jnp.asarray(rcov.astype(np.float32)),
+            cn_refs=jnp.asarray(cn_refs) if factorized else None,
             s6=float(s6),
             s8=float(s8),
             a1=float(damp_a1),
@@ -137,31 +169,42 @@ class TwoBodyDispersionD3(BasePairPotential):
         dists = self.clamp(neighbors.dist) * self.ANGSTROM_TO_BOHR  # (N, K)
         ec, en = self.elem_pairs(elem_flat, neighbors)
 
-        # ONE folded payload gather for every pair-class constant (78
-        # channels: rcov sum, 3x25 C6-interpolation refs, sqrt charge,
-        # damping radius) instead of six per-lane class gathers — those
-        # profiled at ~120 ms/step of the solvated-protein MD step
-        # (tools/profile_hetero.py); constants have no backward.
+        # ONE folded payload gather for every pair-class constant instead
+        # of six per-lane class gathers — those profiled at ~120 ms/step
+        # of the solvated-protein MD step (tools/profile_hetero.py);
+        # constants have no backward.  The factorized path folds 28
+        # channels (rcov sum, 25 C6 refs, sqrt charge, damping radius);
+        # the literal fallback folds 78 (plus the 2x25 CN-ref grids).
         rcov_pair = (
             self.covalent_radii[:, None] + self.covalent_radii[None, :]
         )  # (S, S)
-        (
-            rcov_sum,
-            pre_c6,
-            pre_cn_a,
-            pre_cn_b,
-            sqrt_charge,
-            damp_radii,
-        ) = self.pair_tables(
-            ec,
-            en,
-            rcov_pair,
-            self.precalc_coeff6,
-            self.precalc_cn_a,
-            self.precalc_cn_b,
-            self.sqrt_charge_ab,
-            self.damp_radii,
-        )
+        if self.cn_refs is not None:
+            (rcov_sum, pre_c6, sqrt_charge, damp_radii) = self.pair_tables(
+                ec,
+                en,
+                rcov_pair,
+                self.precalc_coeff6,
+                self.sqrt_charge_ab,
+                self.damp_radii,
+            )
+        else:
+            (
+                rcov_sum,
+                pre_c6,
+                pre_cn_a,
+                pre_cn_b,
+                sqrt_charge,
+                damp_radii,
+            ) = self.pair_tables(
+                ec,
+                en,
+                rcov_pair,
+                self.precalc_coeff6,
+                self.precalc_cn_a,
+                self.precalc_cn_b,
+                self.sqrt_charge_ab,
+                self.damp_radii,
+            )
 
         # Coordination numbers: masked row sum (full table = both directions)
         count_fn = 1.0 / (
@@ -170,22 +213,55 @@ class TwoBodyDispersionD3(BasePairPotential):
         count_fn = jnp.where(neighbors.mask, count_fn, 0.0)
         coordnums = jnp.sum(count_fn, axis=-1)  # (N,)
 
-        cn_center = coordnums[:, None]  # (N, 1)
-        cn_nbr = jnp.where(
-            neighbors.mask,
-            self._select_rows(coordnums, neighbors),
-            0.0,
-        )
+        if self.cn_refs is not None:
+            # Factorized Gaussian weights (see `cn_refs`):
+            #   exp(-K3 ((cn_i - A)^2 + (cn_j - B)^2))
+            #     == exp(-K3 (cn_i - A)^2) * exp(-K3 (cn_j - B)^2)
+            # with A/B per-ELEMENT reference lists — so the exponentials
+            # are (N, 5) per-atom tables (5 transcendentals per atom
+            # instead of 25 per PAIR-LANE) and the per-lane combination
+            # is a pure outer-product FMA.  The neighbor side rides the
+            # scatter-free bucket lane-select like the CN values.
+            refs = jnp.take(
+                self.cn_refs, jnp.clip(elem_flat, 0), axis=0
+            )  # (N, 5)
+            e_atom = jnp.exp(
+                -self._K3 * (coordnums[:, None] - refs) ** 2
+            )  # (N, 5)
+            e_nbr = jnp.where(
+                neighbors.mask[..., None],
+                self._select_rows(e_atom, neighbors),
+                0.0,
+            )  # (N, K, 5)
+            gauss = (
+                e_atom[:, None, :, None] * e_nbr[..., None, :]
+            ).reshape(pre_c6.shape)  # (N, K, 25), channel c = 5*r_i + r_j
+        else:
+            cn_center = coordnums[:, None]  # (N, 1)
+            cn_nbr = jnp.where(
+                neighbors.mask,
+                self._select_rows(coordnums, neighbors),
+                0.0,
+            )
+            gauss = (cn_center[..., None] - pre_cn_a) ** 2 + (
+                cn_nbr[..., None] - pre_cn_b
+            ) ** 2
+            gauss = jnp.exp(-self._K3 * gauss)
 
-        # Gaussian-weighted C6 interpolation over 25 reference pairs
-        gauss = (cn_center[..., None] - pre_cn_a) ** 2 + (
-            cn_nbr[..., None] - pre_cn_b
-        ) ** 2
-        gauss = jnp.exp(-self._K3 * gauss)
+        # Gaussian-weighted C6 interpolation over 25 reference pairs.
+        # Guarded division: when every weight underflows (masked lanes in
+        # the factorized path; physically-absurd coordination numbers in
+        # either path) the quotient's BACKWARD computes z/w^2 whose w^2
+        # underflows to 0 -> inf -> NaN gradients.  Such lanes carry no
+        # meaningful interpolation anyway (the reference's eps-over-eps
+        # limit is 1); route them through a safe denominator.
         gauss = jnp.where(pre_c6 <= 0.0, 0.0, gauss)
         w_factor = jnp.sum(gauss, axis=-1) + self._EPS
         z_factor = jnp.sum(pre_c6 * gauss, axis=-1) + self._EPS
-        c6_coeff = z_factor / w_factor  # (N, K)
+        ok = w_factor > 1e-12
+        c6_coeff = jnp.where(
+            ok, z_factor / jnp.maximum(w_factor, 1e-12), 1.0
+        )  # (N, K)
         c8_coeff = 3 * c6_coeff * sqrt_charge
 
         damp = self.a1 * damp_radii + self.a2
