@@ -102,6 +102,69 @@ def test_angular_split_step_matches_unsplit():
         np.testing.assert_allclose(losses[0], losses[1], rtol=2e-6)
 
 
+def test_angular_row_skip_matches_unsplit_on_padded_batch():
+    """The 3-tuple split's empty class (zero-count rows emitted as zeros)
+    must be exact on padding-heavy batches, for energy-only and force
+    training, and must NaN-poison when nonzero-count rows overflow it."""
+    from torchani_tpu.testing import make_chain_molecs
+    from torchani_tpu.training import tune_angular_split
+    from torchani_tpu.training.loop import _model_with_angular_capacity
+
+    model = tt.simple_ani(("H", "C", "N", "O"), ensemble_size=1)
+    model = model.replace(
+        energy_shifter=model.energy_shifter.replace(enabled=False)
+    )
+    # chain molecules at max 20: mean ~11 real atoms -> ~45% padding rows
+    species, coords = make_chain_molecs(64, 20, seed=7)
+    batch = {
+        "species": jnp.asarray(species),
+        "coordinates": jnp.asarray(coords),
+        "energies": jnp.asarray(
+            np.random.RandomState(3).randn(64).astype(np.float32) * 0.01
+        ),
+        "forces": jnp.zeros((64, 20, 3), jnp.float32),
+    }
+    base = _model_with_angular_capacity(model, 12)
+    host = {
+        "species": np.asarray(batch["species"]),
+        "coordinates": np.asarray(batch["coordinates"]),
+    }
+    split = tune_angular_split(base, [host], margin=2.0)
+    aevc = split.potentials["nnp"].aev_computer
+    assert aevc.angular_split is not None, "split should engage here"
+    assert len(aevc.angular_split) == 3, "padding should enable the row cap"
+    assert aevc.angular_split[2] < 64 * 20
+
+    for force_training in (False, True):
+        losses = []
+        for m in (base, split):
+            init_fn, step_fn = make_train_step(
+                m, optax.adam(1e-3), force_training=force_training
+            )
+            state = init_fn()
+            _, metrics = jax.jit(step_fn)(state, batch)
+            losses.append(float(metrics["loss"]))
+        np.testing.assert_allclose(losses[0], losses[1], rtol=2e-6)
+
+    # overflow: a row cap below the nonzero-count row total must poison
+    k_small, n_dense, _ = aevc.angular_split
+    real_rows = int((np.asarray(species) >= 0).sum())
+    bad = _with_split(base, (k_small, n_dense, max(n_dense + 1, 128)))
+    assert max(n_dense + 1, 128) < real_rows
+    init_fn, step_fn = make_train_step(bad, optax.adam(1e-3))
+    _, metrics = jax.jit(step_fn)(init_fn(), batch)
+    assert not np.isfinite(float(metrics["loss"]))
+
+
+def _with_split(model, split):
+    nnp = model.potentials["nnp"]
+    pots = dict(model.potentials)
+    pots["nnp"] = nnp.replace(
+        aev_computer=nnp.aev_computer.replace(angular_split=split)
+    )
+    return model.replace(potentials=pots)
+
+
 def test_checkpoint_roundtrip(setup, tmp_path):
     model, batch = setup
     init_fn, step_fn = make_train_step(model, optax.adam(1e-3))

@@ -150,8 +150,11 @@ class AEVComputer(struct.PyTreeNode):
     # is a static lane slice).  More rows over k_small than n_dense would
     # silently truncate — detected and NaN-poisoned like capacity overflow.
     # Set from measured count distributions by the MD driver (md.py); None
-    # disables.
-    angular_split: tp.Optional[tp.Tuple[int, int]] = struct.field(
+    # disables.  An optional third element ``n_rows`` caps the evaluated
+    # rows in count order: the tail past it (zero-count rows — padded atoms
+    # of a conformer batch) is emitted as exact zeros without running the
+    # angular math (see ``_angular_split_xla``).
+    angular_split: tp.Optional[tp.Tuple[int, ...]] = struct.field(
         pytree_node=False, default=None
     )
 
@@ -436,7 +439,10 @@ class AEVComputer(struct.PyTreeNode):
         elif (
             split is not None
             and 0 < split[1] < n
-            and split[0] < angular_nbrs.capacity
+            and (
+                split[0] < angular_nbrs.capacity
+                or (len(split) > 2 and split[2] < n)
+            )
         ):
             angular_aev = self._angular_split_xla(
                 atom_block, adist, adiff, amask.astype(adist.dtype), aoh,
@@ -468,10 +474,27 @@ class AEVComputer(struct.PyTreeNode):
         than ``n_dense`` rows exceed ``k_small`` lanes, the result would be
         silently truncated — NaN-poisoned instead (capacity-overflow
         convention).
+
+        A 3-tuple split ``(k_small, n_dense, n_rows)`` adds a third,
+        EMPTY class: rows past ``n_rows`` in count order are emitted as
+        zeros without touching the angular math.  A row with zero valid
+        lanes has an exactly-zero angular AEV (every pair term carries the
+        lane-mask product), so this is exact as long as no nonzero-count
+        row lands in the tail — guarded by the same NaN-poison.  Batched
+        training tables are the use case: conformer batches pad the atom
+        axis to the batch max (~40% padding rows at GDB-like size
+        distributions), and padded rows otherwise ride the full angular
+        block loop.  The reference never pays this cost at all — its CUDA
+        path enumerates real pairs only (`csrc/aev.cu`) — so the skip is
+        what keeps the TPU static-shape design honest against it.
         """
         s = self.num_species
-        k_small, n_dense = tp.cast(tp.Tuple[int, int], self.angular_split)
+        split = tp.cast(tp.Tuple[int, ...], self.angular_split)
+        k_small, n_dense = int(split[0]), int(split[1])
         n = adist.shape[0]
+        n_rows = min(int(split[2]), n) if len(split) > 2 else n
+        k_small = min(k_small, adist.shape[1])
+        n_dense = min(n_dense, n_rows)
         # permutation is topology, not physics: derive it from the
         # stop-gradient mask so no AD pass ever linearizes the count sort
         counts = jnp.sum(jax.lax.stop_gradient(amaskf), axis=1)
@@ -486,6 +509,14 @@ class AEVComputer(struct.PyTreeNode):
         else:
             inv = jnp.zeros((n,), jnp.int32).at[order].set(iota)
         ok = jnp.sum(counts > k_small) <= n_dense
+        if n_rows < n:
+            # rectangular permutation: gather only the n_rows evaluated
+            # rows in; the inverse with a >= n_rows sentinel emits the
+            # zero-count tail as exact zeros on the way out (perm_gather's
+            # sentinel convention) — the tail never rides a gather at all
+            ok &= jnp.sum(counts > 0) <= n_rows
+            order = jax.lax.slice_in_dim(order, 0, n_rows)
+            inv = jnp.where(inv < n_rows, inv, jnp.int32(n_rows))
         pd = lambda x: _perm_rows(x, order, inv)  # noqa: E731
         adist, adiff, amaskf, aoh = pd(adist), pd(adiff), pd(amaskf), pd(aoh)
         dense = _angular_xla(

@@ -474,21 +474,33 @@ def tune_angular_split(
         return model
     kp = lambda k_: k_ * max(k_ - 1, 0) / 2.0  # noqa: E731
     base = rows * kp(cap)
+    # Third class: zero-count rows (padded atoms — batches pad the atom
+    # axis to the batch max) are skipped entirely.  Their count is a
+    # whole-batch aggregate (~batch_size * mean molecule size), so its
+    # batch-to-batch spread is CLT-small — a tight 1.1 margin suffices
+    # where the per-row-max stats above need the full ``margin``.
+    nonzero = max(int((c > 0).sum()) for c in per_batch_counts)
+    n_rows = min(rows, int(-(-int(nonzero * 1.1 + 64) // 64) * 64))
     best = None
-    for k_small in range(6, cap - 1, 2):
+    # k_small == cap is the pure row-skip policy (no lane slicing): it is
+    # what engages on padding-heavy but count-skew-free batches
+    for k_small in list(range(6, cap - 1, 2)) + [cap]:
         over = max(int((c > k_small).sum()) for c in per_batch_counts)
         n_dense = int(-(-int(over * margin + 64) // 64) * 64)
-        if n_dense >= rows:
+        if n_dense >= n_rows:
             continue
-        cost = n_dense * kp(cap) + (rows - n_dense) * kp(k_small)
+        cost = n_dense * kp(cap) + (n_rows - n_dense) * kp(k_small)
         if best is None or cost < best[0]:
             best = (cost, k_small, n_dense)
     if best is None or best[0] > 0.85 * base:
         return model  # <15% estimated saving: not worth the per-step sort
     _, k_small, n_dense = best
+    split = (
+        (k_small, n_dense, n_rows) if n_rows < rows else (k_small, n_dense)
+    )
     pots = dict(model.potentials)
     pots["nnp"] = nnp.replace(
-        aev_computer=aevc.replace(angular_split=(k_small, n_dense))
+        aev_computer=aevc.replace(angular_split=split)
     )
     return model.replace(potentials=pots)
 
