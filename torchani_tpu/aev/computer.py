@@ -519,17 +519,30 @@ class AEVComputer(struct.PyTreeNode):
             inv = jnp.where(inv < n_rows, inv, jnp.int32(n_rows))
         pd = lambda x: _perm_rows(x, order, inv)  # noqa: E731
         adist, adiff, amaskf, aoh = pd(adist), pd(adiff), pd(amaskf), pd(aoh)
-        dense = _angular_xla(
-            self.angular, s, atom_block,
-            adist[:n_dense], adiff[:n_dense], amaskf[:n_dense],
-            aoh[:n_dense], present,
-        )
-        small = _angular_xla(
-            self.angular, s, self._atom_block(k_small),
-            adist[n_dense:, :k_small], adiff[n_dense:, :k_small],
-            amaskf[n_dense:, :k_small], aoh[n_dense:, :k_small], present,
-        )
-        out = _perm_rows(jnp.concatenate([dense, small], axis=0), inv, order)
+        if k_small >= adist.shape[1]:
+            # pure row-skip policy (k_small == capacity): one class over
+            # the evaluated rows — a dense/small partition at identical
+            # lane capacity would pay a redundant concat and an extra
+            # block-loop restart for no work reduction (the counts >
+            # k_small poison term is vacuously satisfied).
+            body = _angular_xla(
+                self.angular, s, atom_block, adist, adiff, amaskf, aoh,
+                present,
+            )
+        else:
+            dense = _angular_xla(
+                self.angular, s, atom_block,
+                adist[:n_dense], adiff[:n_dense], amaskf[:n_dense],
+                aoh[:n_dense], present,
+            )
+            small = _angular_xla(
+                self.angular, s, self._atom_block(k_small),
+                adist[n_dense:, :k_small], adiff[n_dense:, :k_small],
+                amaskf[n_dense:, :k_small], aoh[n_dense:, :k_small],
+                present,
+            )
+            body = jnp.concatenate([dense, small], axis=0)
+        out = _perm_rows(body, inv, order)
         return out * jnp.where(ok, jnp.float32(1.0), jnp.float32(jnp.nan))
 
     def _atom_block(self, ka: int) -> int:

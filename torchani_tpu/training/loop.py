@@ -415,6 +415,7 @@ def tune_angular_split(
     batches: tp.Iterable[tp.Mapping[str, tp.Any]],
     margin: float = 1.3,
     max_batches: int = 8,
+    tail_margin: tp.Optional[float] = None,
 ) -> ANI:
     """Enable the count-class angular split for training batches.
 
@@ -431,6 +432,16 @@ def tune_angular_split(
     budget NaN-poisons the loss (the repo-wide overflow convention), so a
     drifting composition surfaces loudly — re-tune with a larger margin.
     Returns a model copy.
+
+    A 3-tuple split additionally caps the number of evaluated rows
+    (``n_rows``): zero-count padding rows past it are skipped entirely.
+    That cap is a second, independent poison condition — a batch whose
+    NONZERO-count row total exceeds ``n_rows`` NaN-poisons even if every
+    row fits the dense budget.  Its headroom is ``tail_margin`` (default:
+    a quarter of ``margin``'s excess, floored at 1.05 — the nonzero-row
+    total is a whole-batch aggregate with CLT-small spread, so it needs
+    much less slack than the per-row-max statistics ``margin`` protects,
+    but still grows when the caller asks for drift headroom).
 
     Use for ENERGY-ONLY training steps: measured (v5e, batch 2560, Ka=12,
     50-deep scans, r4) e-only 10.1 -> 6.4 ms/step (+58%, 398k samples/s).
@@ -477,10 +488,13 @@ def tune_angular_split(
     # Third class: zero-count rows (padded atoms — batches pad the atom
     # axis to the batch max) are skipped entirely.  Their count is a
     # whole-batch aggregate (~batch_size * mean molecule size), so its
-    # batch-to-batch spread is CLT-small — a tight 1.1 margin suffices
-    # where the per-row-max stats above need the full ``margin``.
+    # batch-to-batch spread is CLT-small and the default headroom scales
+    # at a quarter of ``margin``'s excess (see docstring; overridable via
+    # ``tail_margin``).
+    if tail_margin is None:
+        tail_margin = max(1.05, 1.0 + (margin - 1.0) * 0.25)
     nonzero = max(int((c > 0).sum()) for c in per_batch_counts)
-    n_rows = min(rows, int(-(-int(nonzero * 1.1 + 64) // 64) * 64))
+    n_rows = min(rows, int(-(-int(nonzero * tail_margin + 64) // 64) * 64))
     best = None
     # k_small == cap is the pure row-skip policy (no lane slicing): it is
     # what engages on padding-heavy but count-skew-free batches
