@@ -16,12 +16,18 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, x, reps=50):
+def timeit(fn, x, reps=250):
     """Time fn by scanning it `reps` times inside ONE jitted program.
 
     A per-call scalar fetch costs a full tunnel round-trip (~30 ms) in this
     environment, so per-call timing swamps sub-50ms kernels.  The iteration
     index perturbs the input to defeat CSE across iterations.
+
+    reps matters: the ONE fetch's ~30 ms RTT amortizes as RTT/reps over
+    the measured unit — at reps=50 that's a +0.6 ms floor ON EVERY STAGE
+    (discovered r5, tools/loop_overhead_probe.py: an EMPTY loop measures
+    0.62 ms/iter at reps=50, 0.12 at reps=200).  Every r1-r4 sub-5 ms
+    stage number carries that inflation; reps=250 keeps it at ~0.12 ms.
     """
 
     def body(i, acc):
@@ -165,7 +171,7 @@ def main():
             )
         return tot
 
-    print(f"cache rebuild    {timeit(build_fn, c0, reps=10):8.2f} ms", flush=True)
+    print(f"cache rebuild    {timeit(build_fn, c0, reps=100):8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
