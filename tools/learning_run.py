@@ -210,14 +210,15 @@ def train(args):
     start_epoch = 0
     best = float("inf")
     if args.resume:
-        restored = load_checkpoint(CKPT / "latest", (state, 0, 0.0, 0.0))
+        restored = load_checkpoint(CKPT / "latest", (state, 0, 0.0, 0.0, 0))
         if restored is None:
             print("no checkpoint to resume from; starting fresh")
         else:
-            state, start_epoch, best, lr = restored
+            state, start_epoch, best, lr, bad = restored
             start_epoch, best = int(start_epoch), float(best)
             plateau.lr = float(lr)
             plateau.best = best
+            plateau.bad_epochs = int(bad)
             print(f"resumed at epoch {start_epoch} (best val RMSE {best:.6f})")
 
     mw = MetricsWriter(WORKDIR / "metrics.jsonl", csv_mirror=True)
@@ -250,12 +251,14 @@ def train(args):
             f"lr {lr:.2e}  ({dt:.1f} s)",
             flush=True,
         )
-        save_checkpoint(
-            CKPT / "latest", (state, epoch + 1, best, plateau.lr), epoch + 1
-        )
         if val_rmse < best:
             best = val_rmse
             save_checkpoint(CKPT / "best", state.networks, epoch + 1, keep=1)
+        save_checkpoint(
+            CKPT / "latest",
+            (state, epoch + 1, best, plateau.lr, plateau.bad_epochs),
+            epoch + 1,
+        )
         if args.kill_at and epoch + 1 >= args.kill_at:
             print(f"simulating crash after epoch {epoch + 1}")
             import os
