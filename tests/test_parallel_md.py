@@ -106,3 +106,47 @@ def test_sharded_uneven_padding(setup):
     )
     # dummy padding rows feel no force
     assert np.abs(np.asarray(st8.forces[49:])).max() == 0.0
+
+
+def test_sharded_refresh_matches_single_device():
+    """Domain-decomposed refresh (r5): when the bucket-dot path is active
+    and the model is NNP-only, `ShardedMolecularDynamics` shards the
+    per-step refresh itself (bucket-shard select kernels + one all_to_all
+    slot->row redistribution, `parallel.md.ExchangeTables`).  Must match
+    the single-device driver bit-for-bit-ish through rebuilds."""
+    from torchani_tpu.parallel.md import ExchangeTables
+
+    # low density -> a 20 A box whose bucket grid has >= 3 cells per axis
+    # (the bucket-dot path's requirement); tight skin + 300 K force
+    # rebuilds INSIDE the sharded scan
+    model = tt.simple_ani(
+        ("H", "O"), ensemble_size=1, repulsion=False,
+        key=jax.random.PRNGKey(0),
+    )
+    species, coords, cell = make_water_box(150, density_molec_per_a3=0.008)
+    sp, co, ce = jnp.asarray(species), jnp.asarray(coords), jnp.asarray(cell)
+    md1 = MolecularDynamics(
+        model, sp, cell=ce, pbc=True, timestep_fs=0.25, skin=0.35
+    )
+    st1 = md1.init(co, temperature=300.0, key=jax.random.PRNGKey(4))
+    md8 = ShardedMolecularDynamics(
+        model, sp, _mesh(8), cell=ce, pbc=True, timestep_fs=0.25, skin=0.35
+    )
+    st8 = md8.init(co, temperature=300.0, key=jax.random.PRNGKey(4))
+    assert isinstance(st8.bucket, ExchangeTables), "sharded refresh engaged"
+    a = sp.shape[1]
+    np.testing.assert_allclose(
+        float(st1.energy), float(st8.energy), rtol=0, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st1.forces), np.asarray(st8.forces[:a]), atol=2e-5
+    )
+    st1 = md1.run_nve(st1, 30)
+    st8 = md8.run_nve(st8, 30)
+    assert int(st8.rebuilds) >= 1, "rebuild must fire inside the sharded scan"
+    assert int(st8.rebuilds) == int(st1.rebuilds)
+    assert not bool(st8.overflow)
+    np.testing.assert_allclose(
+        np.asarray(st1.coords), np.asarray(st8.coords[:a]), atol=1e-4
+    )
+    np.testing.assert_allclose(float(st1.energy), float(st8.energy), atol=5e-5)

@@ -34,7 +34,14 @@ def timeit(fn, x, reps=250):
         return acc + jnp.sum(fn(x + i * 1e-7))
 
     scanned = jax.jit(lambda x0: jax.lax.fori_loop(0, reps, body, 0.0))
-    _ = float(scanned(x))  # compile + warm
+    for attempt in range(4):  # the tunnel compile service drops bodies sometimes
+        try:
+            _ = float(scanned(x))  # compile + warm
+            break
+        except Exception:
+            if attempt == 3:
+                raise
+            time.sleep(10)
     t0 = time.perf_counter()
     _ = float(scanned(x))
     return (time.perf_counter() - t0) / reps * 1e3

@@ -210,7 +210,14 @@ def train(args):
     start_epoch = 0
     best = float("inf")
     if args.resume:
-        restored = load_checkpoint(CKPT / "latest", (state, 0, 0.0, 0.0, 0))
+        try:
+            restored = load_checkpoint(
+                CKPT / "latest", (state, 0, 0.0, 0.0, 0)
+            )
+        except ValueError:  # checkpoint from the pre-bad_epochs layout
+            restored = load_checkpoint(CKPT / "latest", (state, 0, 0.0, 0.0))
+            if restored is not None:
+                restored = (*restored, 0)
         if restored is None:
             print("no checkpoint to resume from; starting fresh")
         else:

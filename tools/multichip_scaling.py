@@ -121,21 +121,36 @@ def main():
             flush=True,
         )
         # projected step time on real chips from the measured v5e stage
-        # split (docs/performance.md: refresh 3.55 + pair/integrator ~0.7
-        # replicated; AEV 4.9 + NN 3.5 sharded; rebuild ~0.7 amortized,
-        # replicated) — scaled linearly in atoms from the 10k box
+        # split.  r5 re-measured every stage at reps=250 (the r1-r4
+        # numbers carried a +0.6 ms fetch-RTT floor each — CLAUDE.md) and
+        # DOMAIN-DECOMPOSED the refresh (parallel/md.py ExchangeTables:
+        # bucket-shard select kernels + one all_to_all slot->row
+        # redistribution), so the refresh now scales too:
+        #   sharded: AEV 3.43 + NN 3.15 + refresh 3.02 (of which ~0.2 ms
+        #            of all_to_all + halo comms stay per-chip: 12.5 MB of
+        #            slot rows split D ways, both AD directions, ICI)
+        #   replicated: integrator+Verlet check ~0.15, cell-list rebuild
+        #            15.1 ms amortized over the ~21-step window (~0.7;
+        #            a multi-chip skin retune that stretches the window
+        #            to ~34 steps cuts it to ~0.45 at +8% refresh work)
+        # — scaled linearly in atoms from the 10k box.
         scale = atoms / 10002.0
-        repl = (3.55 + 0.7 + 0.7) * scale
-        shard = (4.9 + 3.5) * scale
-        print(
-            f"atoms={atoms}: projected v5e step ms vs chips "
-            + ", ".join(
-                f"{d}: {repl + shard / d:.2f}" for d in (1, 2, 4, 8, 16)
+        shard = (3.43 + 3.15 + 3.02 - 0.2) * scale
+        comm = 0.2 * scale  # per-chip all_to_all payload ~1/D of 12.5 MB
+        for skin_note, rebuild in (("skin 0.75", 0.7), ("skin ~1.0", 0.45)):
+            repl = (0.15 + rebuild) * scale
+            proj = {
+                d: repl + comm + shard / d for d in (1, 2, 4, 8, 16)
+            }
+            print(
+                f"atoms={atoms} [{skin_note}]: projected v5e step ms vs "
+                "chips "
+                + ", ".join(f"{d}: {t:.2f}" for d, t in proj.items())
+                + f"  (8-chip speedup {proj[1] / proj[8]:.1f}x, ceiling "
+                f"{(repl + comm + shard) / (repl + comm):.1f}x — "
+                "replicated rebuild bound; see docs/performance.md)",
+                flush=True,
             )
-            + f"  (ceiling {(repl + shard) / repl:.1f}x — replicated "
-            f"refresh+rebuild bound; see docs/performance.md)",
-            flush=True,
-        )
 
 
 if __name__ == "__main__":

@@ -3,7 +3,7 @@
 The pytest suite forces the CPU platform (tests/conftest.py), so no test
 ever executes on the real TPU; this closes that gap (reference analog: the
 device-parametrized test axis, ``/root/reference/torchani/_testing.py:25-83``).
-Four lanes, each evaluated on whatever device JAX picked (the TPU during
+Seven lanes, each evaluated on whatever device JAX picked (the TPU during
 bench runs):
 
 - ``strategies``: stored reference goldens (`tests/resources/
@@ -33,6 +33,13 @@ bench runs):
   k=4 segment proving the impulse split is sound on-device.  (A
   chip-vs-CPU form was measured and rejected: the CPU side costs >10 min
   of compiles at these shapes.)
+- ``npt`` (r5): the Berendsen NPT pressure path on the chip — fused
+  scaling-trick virial (``md._energy_forces_virial``) vs an on-chip
+  finite difference of the public scaled-cell energy, a finite 12-step
+  NPT segment, and chip-vs-CPU agreement of the virial and end state.
+- ``packed_refresh`` (r5): the atom-packed bucket-refresh kernel variant
+  (``bucket_refresh_packed.py``) vs the production slot layout, both on
+  the chip: E/F at init and a short NVE segment.
 
 Importable (`run()` returns a dict, used by bench.py to record a
 ``tpu_parity`` field per round) or runnable:
@@ -307,6 +314,92 @@ def _hetero_drivers(model, z, coords, cell, steps=8, every=4):
     return e_mono, f_mono, e_mts, f_mts, d_mts, d_mono, ov
 
 
+def _npt_segment(model, species, coords, cell, steps=12):
+    """Berendsen NPT segment + fused virial on the CURRENT device.
+
+    Returns (E_init, dU/dscale at init, E_end, scale_end, overflow).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from torchani_tpu.md import MolecularDynamics
+
+    md = MolecularDynamics(
+        model,
+        jnp.asarray(np.asarray(species)),
+        cell=jnp.asarray(np.asarray(cell)),
+        pbc=True,
+        timestep_fs=0.2,
+        skin=1.0,
+        nn_precision="highest",
+        npt_compression=0.1,
+    )
+    st = md.init(
+        jnp.asarray(np.asarray(coords)),
+        temperature=50.0,
+        key=jax.random.PRNGKey(9),
+    )
+    st = st.replace(scale=jnp.ones(()))
+    e0, _f0, du_ds = jax.jit(md._energy_forces_virial)(
+        st, st.coords, jnp.ones(())
+    )
+    st = md.run_npt_berendsen(
+        st, steps, temperature=50.0, pressure_bar=1.0, tau_p_fs=200.0
+    )
+    return (
+        float(e0),
+        float(du_ds),
+        float(st.energy),
+        float(st.scale),
+        bool(st.overflow),
+    )
+
+
+def _scaled_energy(model, species, coords, cell, s):
+    """E under joint coordinate+cell scaling (public path) on the CURRENT
+    device — the finite-difference oracle for the fused virial."""
+    import jax
+    import jax.numpy as jnp
+
+    import torchani_tpu as tt
+
+    cl = jnp.asarray(np.asarray(cell)) * s
+    pbc = jnp.asarray([True] * 3)  # concrete BEFORE tracing
+    out = jax.jit(
+        lambda sp, c: tt.single_point(model, sp, c, cell=cl, pbc=pbc)
+    )(jnp.asarray(np.asarray(species)), jnp.asarray(np.asarray(coords)) * s)
+    return float(np.sum(np.asarray(out["energies"])))
+
+
+def _bucket_mode_ef(model, species, coords, cell, mode, steps=8):
+    """E/F at init + a short NVE segment with the given bucket_refresh
+    mode ('slot' pins the slot-row kernel layout, 'packed' the atom-packed
+    rows of bucket_refresh_packed.py) on the CURRENT device."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchani_tpu.md import MolecularDynamics
+
+    md = MolecularDynamics(
+        model,
+        jnp.asarray(np.asarray(species)),
+        cell=jnp.asarray(np.asarray(cell)),
+        pbc=True,
+        timestep_fs=0.25,
+        skin=0.6,
+        nn_precision="highest",
+        bucket_refresh=mode,
+    )
+    st = md.init(
+        jnp.asarray(np.asarray(coords)),
+        temperature=50.0,
+        key=jax.random.PRNGKey(4),
+    )
+    e0, f0 = float(st.energy), np.asarray(st.forces)
+    st = md.run_nve(st, steps)
+    return e0, f0, float(st.energy), bool(st.overflow), md._bucket_c
+
+
 def run(fast: bool = False) -> dict:
     import jax
 
@@ -418,6 +511,79 @@ def run(fast: bool = False) -> dict:
             "ok": md_ok,
         }
         ok = ok and pbc_ok and md_ok
+
+        # lane 6: NPT/virial machinery ON the chip — the Berendsen
+        # pressure path (`md._energy_forces_virial`: the scaling-trick
+        # virial fused into the force backward) ran only in CPU tests
+        # before r5.  Three gates: (a) the fused dU/dscale matches an
+        # on-chip finite difference of the PUBLIC scaled-cell energy,
+        # (b) a 12-step NPT segment stays finite without overflow,
+        # (c) chip-vs-CPU agreement of the segment's end state.
+        e0_npt, du_ds, e_npt, s_npt, ov_npt = _npt_segment(
+            model, species, coords, cell
+        )
+        h = 1e-3
+        fd = (
+            _scaled_energy(model, species, coords, cell, 1.0 + h)
+            - _scaled_energy(model, species, coords, cell, 1.0 - h)
+        ) / (2 * h)
+        vir_err = abs(du_ds - fd)
+        with jax.default_device(cpu):
+            _, du_cpu, e_npt_cpu, s_npt_cpu, ov_npt_cpu = _npt_segment(
+                model, species, coords, cell
+            )
+        npt_e = abs(e_npt - e_npt_cpu)
+        npt_s = abs(s_npt - s_npt_cpu)
+        npt_ok = bool(
+            not ov_npt and not ov_npt_cpu
+            and np.isfinite(e_npt) and np.isfinite(du_ds)
+            and vir_err < 3e-2 * abs(fd) + 2e-2
+            and npt_e < MD_E_ATOL
+            and abs(du_ds - du_cpu) < 5e-3 * abs(du_cpu) + 5e-3
+            # the barostat integrates the virial, so reduction-order noise
+            # amplifies along the segment; gate the trajectory-end scale
+            # loosely (its per-step input |mu - 1| is clipped at 3e-2)
+            and npt_s < 5e-4
+        )
+        out["npt"] = {
+            "virial_du_ds": round(du_ds, 6),
+            "virial_fd_abserr": round(vir_err, 6),
+            "e_abserr_vs_cpu": round(npt_e, 9),
+            "scale_abserr_vs_cpu": round(npt_s, 9),
+            "ok": npt_ok,
+        }
+        ok = ok and npt_ok
+
+        # lane 7: packed bucket-refresh variant ON the chip vs the slot
+        # layout (bucket_refresh_packed.py ran only in CPU tests before
+        # r5; the kernels are documented bit-exact vs slot on HW — gate
+        # at the same reduction-order tolerances as the other lanes).
+        # Low density so the bucket grid gets >= 3 cells per axis.
+        from torchani_tpu.testing import make_water_box as _mwb
+
+        psp, pco, pcell = _mwb(150, density_molec_per_a3=0.008, seed=3)
+        es, fs, es_end, ovs, cs = _bucket_mode_ef(
+            model, psp, pco, pcell, "slot"
+        )
+        ep, fp, ep_end, ovp, cp = _bucket_mode_ef(
+            model, psp, pco, pcell, "packed"
+        )
+        pk_e = abs(ep - es)
+        pk_f = float(np.max(np.abs(fp - fs)))
+        pk_e_end = abs(ep_end - es_end)
+        pk_ok = bool(
+            not ovs and not ovp and cs is not None and cp is not None
+            and np.isfinite(pk_e) and np.isfinite(pk_f)
+            and pk_e < MD_E_ATOL and pk_f < F_ATOL
+            and pk_e_end < MD_E_ATOL
+        )
+        out["packed_refresh"] = {
+            "e_abserr": round(pk_e, 9),
+            "f_maxerr": round(pk_f, 9),
+            "e_end_abserr": round(pk_e_end, 9),
+            "ok": pk_ok,
+        }
+        ok = ok and pk_ok
 
         # lane 5: heterogeneous (ANI-2dr class), all ON the chip: the
         # lane-prefix/bucket/MTS machinery vs the plain single_point path.

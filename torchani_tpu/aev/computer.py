@@ -530,8 +530,18 @@ class AEVComputer(struct.PyTreeNode):
                 present,
             )
         else:
+            # Dense class as ONE block when its residuals are small: the
+            # block loop's backward costs ~3x its forward (replay + carry
+            # copies; r5 ef profile), and a single unrematted block skips
+            # both.  Guarded by the pair-lane volume so huge systems keep
+            # the remat loop (r5 sweep: dense single-block + small @256
+            # measured 3.44 vs 3.80 ms aev_tbl f+b at 10k-atom MD shapes;
+            # larger SMALL blocks measured worse).
+            dense_blk = atom_block
+            if n_dense * adist.shape[1] ** 2 <= 2_000_000:
+                dense_blk = max(n_dense, 1)
             dense = _angular_xla(
-                self.angular, s, atom_block,
+                self.angular, s, dense_blk,
                 adist[:n_dense], adiff[:n_dense], amaskf[:n_dense],
                 aoh[:n_dense], present,
             )

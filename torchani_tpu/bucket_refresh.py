@@ -330,6 +330,18 @@ def _pick_nb(g: int, per_bucket_bytes: int, scratch_bytes: int) -> int:
 
 _DN = (((1,), (0,)), ((), ()))
 
+# r5 experiment switch: backward-select kernel with the bf16 split planes on
+# the dot's contraction axis (mirrors the r3 forward restructure).  MEASURED
+# 4x WORSE than the stacked form (9.36 vs 2.32 ms at water-box shapes,
+# tools/bucketdot_microbench.py r5) — the 3x-wide per-chunk selector build
+# and the 4D broadcast of h cost far more than the avoided (288, C) tmp +
+# p-sum, unlike the fwd case where the value side is tiny.  Kept opt-in for
+# reproducibility; default stays the stacked kernel.
+_BWD_CONTRACT_SPLIT = (
+    __import__("os").environ.get("TORCHANI_TPU_BWD_SPLIT", "stack")
+    == "contract"
+)
+
 
 def _fwd_kernel(c, nb, nc_ref, keys_ref, v_ref, out_ref):
     i = pl.program_id(0)
@@ -414,24 +426,40 @@ def _bwd_chunk(c, r, b, g16_ref, keys_ref, out_ref):
     rc = kk.shape[0]
     rank = kk & 255
     sec = kk >> 8
-    ranks = jax.lax.broadcasted_iota(jnp.int32, (rc, c), 1)
-    sel_r = (ranks == rank[:, None]).astype(jnp.bfloat16)  # (RC, C)
-    # one tall (288, RC) LHS: rows p*96 + d*32 + s — per (split, coord)
-    # a 32-row aligned slab of the section-masked cotangent row
-    # (products are exact: bf16 x {0,1}).  Same aligned-slab reasoning
-    # as _fwd_kernel.  Sentinel lanes land in the discarded pad rows
-    # s in [27, 32).
     secs = jax.lax.broadcasted_iota(jnp.int32, (32, rc), 0)
     m32 = (secs == sec[None, :]).astype(jnp.bfloat16)  # (32, RC)
-    # h via ONE broadcast-multiply + row-major reshape instead of 9
-    # concatenated masked slabs (the concat forced relayout copies;
-    # bwd kernel 3.45 -> 2.37 ms, tools/bucketdot_v2_experiment.py)
-    g9 = g16_ref[b][:9]  # (9, RC) rows (p, d)
-    h = (g9[:, None, :] * m32[None, :, :]).reshape(9 * 32, rc)
-    tmp = jax.lax.dot_general(
-        h, sel_r, _DN, preferred_element_type=jnp.float32
-    )  # (288, C) rows (p, d, s)
-    part = tmp[0:96] + tmp[96:192] + tmp[192:288]  # (96, C) exact p-sum
+    g9 = g16_ref[b][:9]  # (9, RC) rows p*3 + d (split-plane-major)
+    if _BWD_CONTRACT_SPLIT:
+        # r5: the three bf16 split planes of the cotangent ride the dot's
+        # CONTRACTION axis (the same restructure the r3 fwd kernel got):
+        # LHS (96, 3RC) rows d*32+s with column blocks p, RHS the rank
+        # one-hot tiled per plane — the f32 accumulator sums the planes
+        # inside the dot, so there is no (288, C) tmp and no post-dot
+        # p-sum.  Products stay exact (bf16 x {0,1}).
+        ranks3 = jax.lax.broadcasted_iota(jnp.int32, (3, rc, c), 2)
+        sel3 = (ranks3 == rank[None, :, None]).astype(jnp.bfloat16)
+        sel3 = sel3.reshape(3 * rc, c)  # rows p*RC + lane
+        gdp = jnp.transpose(g9.reshape(3, 3, rc), (1, 0, 2))  # (d, p, RC)
+        h = (gdp[:, None, :, :] * m32[None, :, None, :]).reshape(96, 3 * rc)
+        part = jax.lax.dot_general(
+            h, sel3, _DN, preferred_element_type=jnp.float32
+        )  # (96, C) rows d*32 + s
+    else:
+        ranks = jax.lax.broadcasted_iota(jnp.int32, (rc, c), 1)
+        sel_r = (ranks == rank[:, None]).astype(jnp.bfloat16)  # (RC, C)
+        # one tall (288, RC) LHS: rows p*96 + d*32 + s — per (split, coord)
+        # a 32-row aligned slab of the section-masked cotangent row
+        # (products are exact: bf16 x {0,1}).  Same aligned-slab reasoning
+        # as _fwd_kernel.  Sentinel lanes land in the discarded pad rows
+        # s in [27, 32).
+        # h via ONE broadcast-multiply + row-major reshape instead of 9
+        # concatenated masked slabs (the concat forced relayout copies;
+        # bwd kernel 3.45 -> 2.37 ms, tools/bucketdot_v2_experiment.py)
+        h = (g9[:, None, :] * m32[None, :, :]).reshape(9 * 32, rc)
+        tmp = jax.lax.dot_general(
+            h, sel_r, _DN, preferred_element_type=jnp.float32
+        )  # (288, C) rows (p, d, s)
+        part = tmp[0:96] + tmp[96:192] + tmp[192:288]  # (96, C) exact p-sum
 
     @pl.when(r == 0)
     def _():
@@ -495,9 +523,20 @@ def _bucket_select_bwd(
     cotangents summed onto candidates; split planes summed in-kernel).
     ``nlanes``: see `_bucket_select_fwd` (skipped chunks contribute zero)."""
     g, _, r = g16.shape
-    # h (288, RC) bf16 + tmp (288, C) f32 dominate the VMEM footprint
-    rc = _pick_rc(r, 2 * 288 + 2 * c + 96)
-    nb = _pick_nb(g, rc * (4 + 16 * 2) + 96 * c * 4, 288 * rc * 2 + 288 * c * 4)
+    # h (96, 3RC)|(288, RC) bf16 (same bytes) + the selector + tmp dominate
+    # the VMEM footprint; the contract-split variant's selector is 3x wider
+    # per lane but its tmp is (96, C) instead of (288, C)
+    if _BWD_CONTRACT_SPLIT:
+        rc = _pick_rc(r, 2 * 288 + 6 * c + 96)
+        nb = _pick_nb(
+            g, rc * (4 + 16 * 2) + 96 * c * 4,
+            288 * rc * 2 + 3 * rc * c * 2 + 96 * c * 4,
+        )
+    else:
+        rc = _pick_rc(r, 2 * 288 + 2 * c + 96)
+        nb = _pick_nb(
+            g, rc * (4 + 16 * 2) + 96 * c * 4, 288 * rc * 2 + 288 * c * 4
+        )
     if nlanes is None:
         nchunks = jnp.full((g,), r // rc, jnp.int32)
     else:
@@ -900,6 +939,113 @@ def _bwd_impl(g_out, keys, atom_of_slot, slot_of_atom, wrapshift):
     d_pad = jnp.concatenate([d_posb, jnp.zeros((1, 3), g_out.dtype)])
     safe = jnp.where(slot_of_atom >= 0, slot_of_atom, g * c)
     return jnp.take(d_pad, safe, axis=0)
+
+
+def _select_rows_fwd_impl(cand3, keys, nlanes):
+    g, _, _, c = cand3.shape
+    k = keys.shape[1] // c
+    if _interpret():
+        out = _ref_select_fwd(cand3, keys)
+    else:
+        cand_a = jnp.pad(
+            cand3, ((0, 0), (0, 0), (0, 5), (0, 0))
+        ).reshape(g, 96, c)
+        out = _bucket_select_fwd(_split3(cand_a), keys, nlanes)
+    sel3 = out[:, :3, :].reshape(g, 3, c, k)
+    return sel3.transpose(0, 2, 3, 1).reshape(g * c, k * 3)
+
+
+def _select_rows_bwd_impl(g_rows, keys, nlanes, c):
+    g = keys.shape[0]
+    k = keys.shape[1] // c
+    g_b = (
+        g_rows.reshape(g, c, k, 3).transpose(0, 3, 1, 2).reshape(g, 3, c * k)
+    )
+    if _interpret():
+        d3 = _ref_select_bwd(g_b, keys, c)
+    else:
+        hi, mid, lo = _split3(g_b)
+        g16 = jnp.pad(
+            jnp.concatenate([hi, mid, lo], axis=1), ((0, 0), (0, 7), (0, 0))
+        )
+        d_cand = _bucket_select_bwd(g16, keys, c, nlanes)
+        d3 = d_cand.reshape(g, 3, 32, c)[:, :, :27]
+    return d3
+
+
+@jax.custom_vjp
+def select_slot_rows(cand3, keys, nlanes):
+    """Per-slot-row neighbor positions from a PREBUILT candidate table.
+
+    The shard-local core of `bucket_nbr_pos` for domain-decomposed MD
+    (``parallel/md.py``): ``cand3`` is the (G_local, 3, 27, C) candidate
+    block of this shard's buckets (built outside, where the 27 rolls can
+    cross shard boundaries under the partitioner), ``keys`` its
+    (G_local, C*K) lane keys, ``nlanes`` the per-bucket occupied-lane
+    bound.  Returns ``(G_local*C, K*3)`` f32 rows (slot-row order);
+    backward is the transposed contraction through the same Pallas pair
+    as `bucket_nbr_pos` — no scatter.
+    """
+    return _select_rows_fwd_impl(cand3, keys, nlanes)
+
+
+def _select_rows_vjp_fwd(cand3, keys, nlanes):
+    return _select_rows_fwd_impl(cand3, keys, nlanes), (
+        keys, nlanes, cand3.shape[3],
+    )
+
+
+def _select_rows_vjp_bwd(res, g_rows):
+    keys, nlanes, c = res
+    return _select_rows_bwd_impl(g_rows, keys, nlanes, c), None, None
+
+
+select_slot_rows.defvjp(_select_rows_vjp_fwd, _select_rows_vjp_bwd)
+
+
+@jax.custom_vjp
+def slot_positions(canon, atom_of_slot, slot_of_atom):
+    """``canon[atom_of_slot]`` (G*C, 3) with a GATHER transpose.
+
+    The slot<->atom map is a bijection on occupied slots, so the
+    cotangent of the slot table routes back to atoms as
+    ``d_posb[slot_of_atom]`` — a row gather, not the scatter-add XLA
+    would emit for a plain ``take`` transpose."""
+    a = canon.shape[0]
+    canon_pad = jnp.concatenate([canon, jnp.zeros((1, 3), canon.dtype)])
+    return jnp.take(canon_pad, jnp.minimum(atom_of_slot, a), axis=0)
+
+
+def _slot_pos_vjp_fwd(canon, atom_of_slot, slot_of_atom):
+    return slot_positions(canon, atom_of_slot, slot_of_atom), (
+        slot_of_atom, canon.shape[0],
+    )
+
+
+def _slot_pos_vjp_bwd(res, g_posb):
+    slot_of_atom, a = res
+    safe = jnp.where(slot_of_atom >= 0, slot_of_atom, 0)
+    d = jnp.take(g_posb, safe, axis=0)
+    return jnp.where((slot_of_atom >= 0)[:, None], d, 0.0), None, None
+
+
+slot_positions.defvjp(_slot_pos_vjp_fwd, _slot_pos_vjp_bwd)
+
+
+def cand_table_from_slots(posb, wrapshift, grid, c):
+    """(G, 3, 27, C) candidate block from a slot-position table (the roll
+    half of `_cand_table`, taking ``posb`` explicitly so its canon gather
+    can carry `slot_positions`' gather-transpose)."""
+    gx, gy, gz = grid
+    g = gx * gy * gz
+    posb3 = posb.reshape(gx, gy, gz, c, 3)
+    sections = [
+        jnp.roll(posb3, shift=(-ox, -oy, -oz), axis=(0, 1, 2))
+        for ox, oy, oz in _SECTION_OFFSETS
+    ]
+    cand = jnp.stack(sections, axis=3).reshape(g, 27, c, 3)
+    cand = cand + wrapshift.reshape(g, 27, 1, 3)
+    return cand.transpose(0, 3, 1, 2)
 
 
 @jax.custom_vjp
