@@ -86,14 +86,17 @@ def main() -> None:
     cell = jnp.asarray(cell_np)
     pbc = jnp.asarray([True, True, True])
 
-    iters = 10
+    iters = 30
 
     @jax.jit
     def raw_chunk(coords):
         # `iters` full from-scratch evaluations scanned inside ONE program:
         # a per-call scalar fetch costs a ~30 ms tunnel RTT, which is
         # measurement-harness latency, not device time (same methodology as
-        # the MD timing below).  The per-iteration perturbation defeats CSE
+        # the MD timing below).  The RTT amortizes as ~30/iters ms over
+        # each measured unit (r5, tools/loop_overhead_probe.py), so iters
+        # matters: the r1-r4 raw number at iters=10 carried ~+3 ms.
+        # The per-iteration perturbation defeats CSE
         # without changing the neighbor structure.
         def body(i, acc):
             c = coords + i * jnp.asarray(1e-6, coords.dtype)
@@ -118,7 +121,11 @@ def main() -> None:
 
     md = MolecularDynamics(model, species_np, cell=cell_np, pbc=True)
     state = md.init(coords_np, temperature=300.0)
-    md_iters = 50
+    # 250 steps: the one scalar fetch's ~30 ms tunnel RTT amortizes as
+    # RTT/steps over each step (r5, tools/loop_overhead_probe.py), so the
+    # r1-r4 headline at md_iters=50 carried a +0.6 ms/step measurement
+    # floor; 250 keeps it at ~0.12 ms and averages ~10 Verlet windows.
+    md_iters = 250
     # warm up with the SAME step count (scan length is part of the compiled
     # program signature)
     state = md.run_nve(state, md_iters)
@@ -191,7 +198,7 @@ def main() -> None:
         hmd = MultipleTimestepMD(
             hmodel, hz[None], cell=hcell, pbc=True, every=4
         )
-        hsteps = 48
+        hsteps = 96  # RTT floor ~0.3 ms/step; must stay a multiple of every=4
         hstate = hmd.init(hc_eq)
         hstate = hstate.replace(
             fast=hstate.fast.replace(velocities=hv_eq)
@@ -243,7 +250,10 @@ def main() -> None:
                     "tpu_parity": parity.get("tpu_parity"),
                     "tpu_parity_detail": {
                         k: parity.get(k)
-                        for k in ("strategies", "zoo", "pbc", "md", "hetero")
+                        for k in (
+                            "strategies", "zoo", "pbc", "md", "hetero",
+                            "npt", "packed_refresh",
+                        )
                     },
                     "rebuilds_in_window": int(state.rebuilds),
                     "neighbor_overflow": bool(state.overflow),
