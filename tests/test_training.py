@@ -465,3 +465,40 @@ def test_epoch_runner_honors_capacity_buckets():
     assert metrics["steps"] == 4
     assert np.isfinite(metrics["loss"])
     assert np.isfinite(runner.validate(state, batches))
+
+
+def test_fwdrev_force_grads_match():
+    """force_grad_mode="fwdrev" (reverse-over-jvp) must produce the same
+    loss and parameter updates as the standard reverse-over-reverse."""
+    from torchani_tpu.testing import make_chain_molecs
+
+    model = tt.simple_ani(
+        ("H", "C", "N", "O"), ensemble_size=1, key=jax.random.PRNGKey(0)
+    )
+    model = model.replace(
+        energy_shifter=model.energy_shifter.replace(enabled=False)
+    )
+    sp, co = make_chain_molecs(16, 12, seed=3)
+    rng = np.random.RandomState(0)
+    batch = {
+        "species": jnp.asarray(sp.astype(np.int32)),
+        "coordinates": jnp.asarray(co),
+        "energies": jnp.asarray(rng.randn(16).astype(np.float32) * 0.01),
+        "forces": jnp.asarray(rng.randn(16, 12, 3).astype(np.float32) * 0.01),
+    }
+    opt = optax.adam(1e-3)
+    outs = {}
+    for mode in ("revrev", "fwdrev"):
+        init_fn, step_fn = make_train_step(
+            model, opt, force_training=True, nn_precision=None,
+            force_grad_mode=mode,
+        )
+        st2, m = jax.jit(step_fn)(init_fn(), batch)
+        outs[mode] = (float(m["loss"]), st2.networks)
+    np.testing.assert_allclose(outs["revrev"][0], outs["fwdrev"][0], rtol=1e-7)
+    for a, b in zip(
+        jax.tree.leaves(outs["revrev"][1]), jax.tree.leaves(outs["fwdrev"][1])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-7
+        )

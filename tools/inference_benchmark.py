@@ -62,6 +62,23 @@ def main():
     model = tune_angular_capacity(
         model, [{"species": species_np, "coordinates": coords_np}]
     )
+    if "--no-split" not in sys.argv:
+        # Count-class angular split + zero-count row skip (r5): inference
+        # forces are FIRST-order AD (one grad — not force training's
+        # grad-of-grad, where the split replays), and conformer batches
+        # pad the atom axis to the batch max (~45% zero-count rows at
+        # 10-60-atom size distributions), so the 3-tuple split's row skip
+        # pays on BOTH modes here.  Same overflow-poison semantics as
+        # everywhere else.
+        from torchani_tpu.training.loop import tune_angular_split
+
+        model = tune_angular_split(
+            model, [{"species": species_np, "coordinates": coords_np}]
+        )
+        print(
+            "angular_split:",
+            model.potentials["nnp"].aev_computer.angular_split,
+        )
     cap = model.potentials["nnp"].aev_computer.angular_capacity
     species = jnp.asarray(species_np)
     coords = jnp.asarray(coords_np)

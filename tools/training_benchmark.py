@@ -24,6 +24,12 @@ def main():
     parser.add_argument("--max-atoms", type=int, default=26)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--force-training", action="store_true")
+    parser.add_argument(
+        "--force-grad-mode", default="revrev",
+        choices=("revrev", "fwdrev"),
+        help="force-loss parameter-gradient formulation (fwdrev = "
+        "reverse-over-jvp; see training.loop._force_loss_grads_fwdrev)",
+    )
     parser.add_argument("--ensemble", type=int, default=1)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--angular-capacity", type=int, default=None)
@@ -108,7 +114,8 @@ def main():
             nnp = m.potentials["nnp"]
             print(f"angular_split: {nnp.aev_computer.angular_split}")
         _, step = make_train_step(
-            m, optax.adamw(1e-3), force_training=args.force_training
+            m, optax.adamw(1e-3), force_training=args.force_training,
+            force_grad_mode=args.force_grad_mode,
         )
         state = init_fn()
 

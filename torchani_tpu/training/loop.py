@@ -86,12 +86,77 @@ def energy_force_loss(
     return e_loss + force_weight * f_loss
 
 
+def _force_loss_grads_fwdrev(
+    model: ANI,
+    networks,
+    with_networks,
+    species: Array,
+    coords: Array,
+    target_energies: Array,
+    target_forces: Array,
+    force_weight: float,
+):
+    """Force-training loss + parameter grads via reverse-over-FORWARD.
+
+    The standard formulation differentiates the force backward again
+    (reverse-over-reverse).  Algebraically, the force-loss term's
+    parameter gradient is a mixed second derivative contracted with the
+    force residual:
+
+        dL_f/dtheta = <u, dF/dtheta> = -<u, d2E/dx dtheta>
+                    = -d/dtheta [ jvp_x(E_total; u) ]
+
+    with ``u = 2 w (F - F*) / (C n)`` held constant (it carries the
+    derivative of the quadratic, not a path to differentiate).  So ONE
+    reverse pass over a jvp-augmented forward replaces the second
+    reverse pass — same exact gradients (pinned by
+    tests/test_training.py::test_fwdrev_force_grads_match), different
+    program structure.
+    """
+    elem_idxs = model._convert(species)
+    num_atoms = jnp.sum(elem_idxs >= 0, axis=-1).astype(coords.dtype)
+    c = coords.shape[0]
+
+    def esum(net, x):
+        m = with_networks(net)
+        e = m(species, x)
+        return jnp.sum(e), e
+
+    (_, energies), neg_forces = jax.value_and_grad(
+        lambda x: esum(networks, x), has_aux=True
+    )(coords)
+    forces = -neg_forces
+    e_res = energies - target_energies
+    e_loss = jnp.mean(e_res**2 / jnp.sqrt(num_atoms))
+    f_res = forces - target_forces
+    f_loss = jnp.mean(jnp.sum(f_res**2, axis=(-1, -2)) / num_atoms)
+    loss = e_loss + force_weight * f_loss
+
+    u = jax.lax.stop_gradient(
+        2.0 * force_weight * f_res / (c * num_atoms[:, None, None])
+    )
+
+    def h(net):
+        def e_of_x(x):
+            ee = with_networks(net)(species, x)
+            return jnp.sum(ee), ee
+
+        (_, ee), s = jax.jvp(e_of_x, (coords,), (u,))
+        ee_loss = jnp.mean((ee - target_energies) ** 2 / jnp.sqrt(num_atoms))
+        # F = -dE/dx, so <u, dF/dtheta> = -d/dtheta jvp(E; u)
+        return ee_loss - s[0]
+
+    grads = jax.grad(h)(networks)
+    return loss, grads
+
+
 def make_train_step(
     model_template: ANI,
     optimizer: optax.GradientTransformation,
     force_training: bool = False,
     force_weight: float = 0.1,
     nn_precision: tp.Optional[str] = "high",
+    force_grad_mode: str = "revrev",
 ):
     """Build (init_fn, step_fn) training functions over the NN subtree.
 
@@ -139,8 +204,23 @@ def make_train_step(
             force_weight=force_weight,
         )
 
+    def _with_nets(networks):
+        model = _model_with_networks(model_template, networks)
+        if nn_precision is not None:
+            from torchani_tpu.md import _with_nn_precision
+
+            model = _with_nn_precision(model, nn_precision)
+        return model
+
     def step_fn(state: TrainState, batch: tp.Dict[str, Array]):
-        loss, grads = jax.value_and_grad(loss_fn)(state.networks, batch)
+        if force_training and force_grad_mode == "fwdrev":
+            loss, grads = _force_loss_grads_fwdrev(
+                _with_nets(state.networks), state.networks, _with_nets,
+                batch["species"], batch["coordinates"], batch["energies"],
+                batch["forces"], force_weight,
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(state.networks, batch)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.networks
         )
