@@ -34,6 +34,11 @@ def main():
         help="RESPA multiple-timestep: evaluate the dispersion lane every "
         "N inner steps (0 = monolithic driver)",
     )
+    parser.add_argument(
+        "--slow-skin", type=float, default=None,
+        help="Verlet skin of the MTS slow (dispersion) lane; wider "
+        "stretches the 8 A table's rebuild cadence (r5 lever)",
+    )
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--equil", type=int, default=800)
     args = parser.parse_args()
@@ -104,7 +109,7 @@ def main():
 
             md = MultipleTimestepMD(
                 model, z[None], cell=cell, pbc=True, every=args.mts,
-                timestep_fs=timestep,
+                timestep_fs=timestep, slow_skin=args.slow_skin,
             )
             run = lambda st, n, **kw: md.run(  # noqa: E731
                 st, n, ensemble="langevin", temperature=300.0, **kw
