@@ -138,3 +138,32 @@ def test_mts_validation_errors(model, system):
         mts.run(st, 6)
     with pytest.raises(ValueError, match="not supported"):
         mts.run(st, 8, ensemble="npt", temperature=300.0)
+
+
+def test_cached_slow_constants_exact(model, system):
+    """cache_slow_constants (the default) must be EXACT: it caches only
+    element-keyed constant channels per Verlet window and restructures the
+    C6 interpolation (`dispersion.frozen_window_channels`); coordination
+    numbers stay live.  (A window-FROZEN C6 variant was measured and
+    rejected — non-finite NVE; see the dispersion docstring.)"""
+    species, coords, cell = system
+    out = {}
+    for cached in (False, True):
+        mts = MultipleTimestepMD(
+            model, jnp.asarray(species), cell=jnp.asarray(cell), pbc=True,
+            every=4, timestep_fs=0.5, cache_slow_constants=cached,
+        )
+        st = mts.init(
+            jnp.asarray(coords), temperature=50.0,
+            key=jax.random.PRNGKey(5),
+        )
+        assert (st.slow.pair_aux is not None) == cached
+        st = mts.run(st, 8)
+        out[cached] = (
+            float(st.energy), np.asarray(st.forces), np.asarray(st.coords)
+        )
+    e_u, f_u, c_u = out[False]
+    e_c, f_c, c_c = out[True]
+    np.testing.assert_allclose(e_u, e_c, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(f_u, f_c, atol=2e-5)
+    np.testing.assert_allclose(c_u, c_c, atol=1e-6)

@@ -170,7 +170,7 @@ def main():
     # 4) Verlet cache rebuild (cell list + lane sort + partner map); amortized
     # over the rebuild interval in MD (bench reports rebuilds_in_window)
     def build_fn(c):
-        idx, mask, shift, nbr_elem, rev, overflow, _tables = md._build_cache(c)
+        idx, mask, shift, nbr_elem, rev, overflow, _tables, _aux = md._build_cache(c)
         tot = shift.sum() + (idx + nbr_elem + rev).sum() + mask.sum()
         if _tables is not None:
             tot = tot + sum(

@@ -49,7 +49,7 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "tbl"
     if mode == "build":
         def build_fn(c):
-            idx, mask, shift, nbr_elem, rev, overflow, tables = md._build_cache(c)
+            idx, mask, shift, nbr_elem, rev, overflow, tables, _aux = md._build_cache(c)
             tot = shift.sum() + (idx + nbr_elem + rev).sum() + mask.sum()
             if tables is not None:
                 tot = tot + sum(

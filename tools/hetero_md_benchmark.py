@@ -35,6 +35,12 @@ def main():
         "N inner steps (0 = monolithic driver)",
     )
     parser.add_argument(
+        "--no-d3-cache", action="store_true",
+        help="disable the (exact) per-window caching of the D3 "
+        "constant pair channels (md.MultipleTimestepMD "
+        "cache_slow_constants)",
+    )
+    parser.add_argument(
         "--slow-skin", type=float, default=None,
         help="Verlet skin of the MTS slow (dispersion) lane; wider "
         "stretches the 8 A table's rebuild cadence (r5 lever)",
@@ -110,6 +116,7 @@ def main():
             md = MultipleTimestepMD(
                 model, z[None], cell=cell, pbc=True, every=args.mts,
                 timestep_fs=timestep, slow_skin=args.slow_skin,
+                cache_slow_constants=not args.no_d3_cache,
             )
             run = lambda st, n, **kw: md.run(  # noqa: E731
                 st, n, ensemble="langevin", temperature=300.0, **kw
@@ -169,7 +176,8 @@ def main():
         )
     print(
         f"hetero MD (repulsion={True}, dispersion={not args.no_dispersion}, "
-        f"ensemble {args.ensemble}, mts={args.mts}): {dt * 1e3:.2f} ms/step "
+        f"ensemble {args.ensemble}, mts={args.mts}, "
+        f"d3_cache={not args.no_d3_cache}): {dt * 1e3:.2f} ms/step "
         f"= {86400.0 / dt * 1e-6:.3f} ns/day @1fs; "
         f"E {e0:.4f} -> {e1:.4f} Ha; rebuilds={int(state.rebuilds)}",
         flush=True,

@@ -33,7 +33,7 @@ def main():
     c0 = state.coords
 
     def build_fn(c):
-        idx, mask, shift, nbr_elem, rev, overflow, tables = md._build_cache(c)
+        idx, mask, shift, nbr_elem, rev, overflow, tables, _aux = md._build_cache(c)
         tot = shift.sum() + (idx + nbr_elem + rev).sum() + mask.sum()
         if tables is not None:
             tot = tot + sum(

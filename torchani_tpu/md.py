@@ -85,6 +85,11 @@ class MDState(struct.PyTreeNode):
     # `PackedTables` selects the atom-packed kernel layout (~1.8x fewer
     # MACs; bucket_refresh_packed.py), `BucketTables` the slot-row layout.
     bucket: tp.Optional[tp.Union[BucketTables, PackedTables]] = None
+    # Frozen per-window pair channels (dict: potential name -> (A, K, P)),
+    # recomputed at every Verlet rebuild for potentials named in the
+    # driver's ``freeze_pair_window`` (see `Neighbors.pair_aux`).  None
+    # when the feature is off.
+    pair_aux: tp.Optional[tp.Dict[str, Array]] = None
     # NPT: isotropic cell scale factor s (physical cell = s * init cell).
     # Neighbor topology is built from REDUCED coordinates (coords / s)
     # against the static init cell, so the compiled programs never see a
@@ -377,6 +382,7 @@ class MolecularDynamics:
         auto_capacity: bool = True,
         bucket_refresh: tp.Union[bool, str] = "auto",
         npt_compression: float = 0.0,
+        freeze_pair_window: tp.Sequence[str] = (),
     ) -> None:
         # ctor snapshot (pre-wrapping model) for `rebaseline`
         self._ctor = dict(
@@ -385,6 +391,22 @@ class MolecularDynamics:
             timestep_fs=timestep_fs, nn_precision=nn_precision,
             auto_capacity=auto_capacity, bucket_refresh=bucket_refresh,
             npt_compression=npt_compression,
+            freeze_pair_window=freeze_pair_window,
+        )
+        # Window-constant pair channels: potentials named here (and
+        # implementing `frozen_window_channels`) get their
+        # topology-constant per-lane tables computed once per Verlet
+        # REBUILD instead of re-gathered every force evaluation (D3's
+        # element-pair constants + neighbor CN references — the folded
+        # payload gather cluster profiled at ~8 ms of the config-5
+        # slow-lane eval) and unlock the potential's restructured cached
+        # math path.  EXACT — the channels are element-keyed constants.
+        self._freeze_pair = tuple(
+            n for n in freeze_pair_window
+            if hasattr(
+                getattr(model, "potentials", {}).get(n, None),
+                "frozen_window_channels",
+            )
         )
         # MD defaults the NN matmuls to "high" (3 bf16 MXU passes): max
         # relative force error ~3e-5 vs "highest" — far below thermal noise
@@ -770,6 +792,7 @@ class MolecularDynamics:
                 idx, mask, shift, skeys = lane_permute(
                     (idx, mask, shift, jnp.where(mask, dist, 1e30)), order
                 )
+            dist = jnp.where(mask, skeys, 1.0)  # keep dist lane-aligned
             if self._ang_prefix is not None:
                 r_ang = float(self.model.aev_computer.angular.cutoff)
                 in_reach = jnp.sum(
@@ -794,6 +817,28 @@ class MolecularDynamics:
                 self.elem_idxs[0], jnp.where(mask, idx, 0), axis=0
             )
         nbr_elem = jnp.where(mask, nbr_elem, -1)
+        # frozen per-window pair channels (see freeze_pair_window): computed
+        # from the BUILD-TIME distances — exactly the configuration every
+        # other cached quantity reflects
+        pair_aux = None
+        if self._freeze_pair:
+            nb_build = Neighbors(
+                idx=idx,
+                mask=mask,
+                diff=jnp.zeros(idx.shape + (3,), coords.dtype),
+                dist=jnp.where(mask, dist, 1.0),
+                overflow=overflow,
+                elem=nbr_elem,
+            )
+            elem_flat = self.elem_idxs.reshape(-1)
+            pair_aux = {}
+            for n in self._freeze_pair:
+                ch = self.model.potentials[n].frozen_window_channels(
+                    elem_flat, nb_build
+                )
+                if ch is not None:
+                    pair_aux[n] = ch
+            pair_aux = pair_aux or None
         if bucket_on:
             # bucket-dot refresh: the per-step path never touches nbr_rev
             # (backward is the transposed contraction), so the partner-lane
@@ -811,7 +856,7 @@ class MolecularDynamics:
                 tables, povf = pack_tables(tables, *self._bucket_span)
                 overflow = overflow | povf
             rev = jnp.zeros((1, 1), jnp.int32)  # unused in bucket mode
-            return idx, mask, shift, nbr_elem, rev, overflow, tables
+            return idx, mask, shift, nbr_elem, rev, overflow, tables, pair_aux
         # partner-lane map for the scatter-free force backward: hash each
         # lane's integer image shift so partners are matched exactly
         if self.cell is not None:
@@ -823,9 +868,14 @@ class MolecularDynamics:
         hneg = ((-n[..., 0] + 2) * 5 + (-n[..., 1] + 2)) * 5 + (-n[..., 2] + 2)
         rev, all_found = _partner_lanes(idx, mask, h, hneg)
         overflow = overflow | ~all_found
-        return idx, mask, shift, nbr_elem, rev, overflow, None
+        return idx, mask, shift, nbr_elem, rev, overflow, None, pair_aux
 
-    def _potential_energy(self, nb: Neighbors, cs: Array) -> Array:
+    def _potential_energy(
+        self,
+        nb: Neighbors,
+        cs: Array,
+        pair_aux: tp.Optional[tp.Dict[str, Array]] = None,
+    ) -> Array:
         """Total potential energy from a refreshed table (internal order).
 
         Without lane prefixes this is exactly
@@ -833,10 +883,12 @@ class MolecularDynamics:
         potential inflated the build radius, e.g. D3 dispersion at 8 A)
         each short-cutoff potential runs on its own STATIC prefix of the
         distance-sorted lanes instead of the full widened K — verified per
-        build like the angular preslice."""
+        build like the angular preslice.  ``pair_aux`` (state-carried
+        frozen window channels, see ``freeze_pair_window``) is re-attached
+        per potential."""
         from torchani_tpu.neighbors import narrow_to_cutoff
 
-        if not self._lane_prefixes:
+        if not self._lane_prefixes and not self._freeze_pair:
             nbn = narrow_to_cutoff(nb, self.cutoff)
             out = self.model.compute_from_neighbors(
                 self.elem_idxs, cs[None], _batch1(nbn)
@@ -850,6 +902,11 @@ class MolecularDynamics:
             nbp = _slice_lanes(nb, p) if p is not None else nb
             r = min(float(pot.cutoff), self.cutoff)
             nbp = narrow_to_cutoff(nbp, r)
+            if pair_aux is not None and name in pair_aux:
+                aux = pair_aux[name]
+                if p is not None:
+                    aux = aux[:, :p]
+                nbp = nbp.replace(pair_aux=aux)
             e = e + jnp.sum(
                 pot.compute_from_neighbors(
                     self.elem_idxs, cs[None], _batch1(nbp)
@@ -863,7 +920,9 @@ class MolecularDynamics:
     def _energy_and_forces(self, state: MDState, coords: Array):
         def energy(c):
             nb = _refresh_neighbors(state, c)
-            return self._potential_energy(nb, self._to_internal(c))
+            return self._potential_energy(
+                nb, self._to_internal(c), state.pair_aux
+            )
 
         e, g = jax.value_and_grad(energy)(coords)
         return e, -g
@@ -881,7 +940,9 @@ class MolecularDynamics:
         """
         def energy(c_red, s):
             nb = _refresh_neighbors(state, c_red, s)
-            return self._potential_energy(nb, self._to_internal(c_red * s))
+            return self._potential_energy(
+                nb, self._to_internal(c_red * s), state.pair_aux
+            )
 
         e, (gr, gs) = jax.value_and_grad(energy, argnums=(0, 1))(
             coords / scale, scale
@@ -915,8 +976,8 @@ class MolecularDynamics:
             velocities = maxwell_boltzmann_velocities(vkey, self.masses, temperature)
         else:
             velocities = jnp.zeros_like(coords)
-        idx, mask, shift, nbr_elem, rev, overflow, tables = self._build_cache_jit(
-            coords
+        (idx, mask, shift, nbr_elem, rev, overflow, tables, pair_aux) = (
+            self._build_cache_jit(coords)
         )
         state = MDState(
             coords=coords,
@@ -937,6 +998,7 @@ class MolecularDynamics:
             if self._species_perm is None
             else jnp.asarray(self._species_perm),
             bucket=tables,
+            pair_aux=pair_aux,
         )
         self._ensure_angular_split(state, coords)
         e, f = jax.jit(self._energy_and_forces)(state, coords)
@@ -966,8 +1028,8 @@ class MolecularDynamics:
 
         def rebuild(st):
             red = coords if st.scale is None else coords / st.scale
-            idx, mask, shift, nbr_elem, rev, overflow, tables = self._build_cache(
-                red
+            (idx, mask, shift, nbr_elem, rev, overflow, tables, pair_aux) = (
+                self._build_cache(red)
             )
             if st.scale is not None:
                 # a fresh build can no longer cover the physical cutoff once
@@ -985,6 +1047,7 @@ class MolecularDynamics:
                 rebuilds=st.rebuilds + 1,
                 overflow=st.overflow | overflow,
                 bucket=tables,
+                pair_aux=pair_aux,
             )
 
         return jax.lax.cond(need, rebuild, lambda st: st, state)
@@ -1423,6 +1486,7 @@ class MultipleTimestepMD:
         skin: float = 0.75,
         slow_skin: tp.Optional[float] = None,
         timestep_fs: float = 1.0,
+        cache_slow_constants: bool = True,
         **md_kwargs,
     ) -> None:
         if every < 1:
@@ -1464,10 +1528,23 @@ class MultipleTimestepMD:
             fast_model, species, cell=cell, pbc=pbc, skin=skin,
             timestep_fs=timestep_fs, **md_kwargs,
         )
+        # cache_slow_constants: slow-lane potentials that declare
+        # `frozen_window_channels` (D3: element-pair constants + neighbor
+        # CN references) get those tables computed once per Verlet
+        # REBUILD instead of re-gathered every impulse evaluation, and
+        # run their restructured cached math (EXACT — the channels are
+        # element-keyed constants; D3's coordination numbers stay live).
+        # Profiled at ~17 of the 35 ms config-5 slow-lane eval.  A
+        # window-FROZEN C6 variant was measured and rejected (non-finite
+        # NVE — see dispersion.frozen_window_channels docstring).
         self.slow = MolecularDynamics(
             slow_model, species, cell=cell, pbc=pbc,
             skin=slow_skin if slow_skin is not None else skin,
-            timestep_fs=timestep_fs, **md_kwargs,
+            timestep_fs=timestep_fs,
+            freeze_pair_window=(
+                tuple(self.slow_names) if cache_slow_constants else ()
+            ),
+            **md_kwargs,
         )
         self._runner_cache: tp.Dict[tp.Tuple, tp.Any] = {}
 

@@ -105,6 +105,14 @@ class Neighbors(struct.PyTreeNode):
     # through ``bucket_refresh.select_lane_values``, which uses these when
     # present and falls back to a plain gather otherwise.
     select_tables: tp.Optional[tp.Any] = None
+    # Optional frozen per-window pair channels for ONE potential, shape
+    # ``(A, K, P)`` in flat single-system atom space (like select_tables).
+    # The MD driver computes them at Verlet-rebuild time for potentials
+    # that declare `frozen_window_channels` (``freeze_pair_window``) and
+    # re-attaches the right array before each potential's call; a
+    # potential seeing its channels here may skip the per-step
+    # recomputation they replace (D3: the CN-dependent C6/C8/damping).
+    pair_aux: tp.Optional[Array] = None
 
     @property
     def capacity(self) -> int:

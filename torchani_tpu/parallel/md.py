@@ -216,7 +216,7 @@ class ShardedMolecularDynamics(MolecularDynamics):
         )
 
     def _build_cache(self, coords: Array):
-        (idx, mask, shift, nbr_elem, rev, overflow, tables) = (
+        (idx, mask, shift, nbr_elem, rev, overflow, tables, pair_aux) = (
             super()._build_cache(coords)
         )
         if self._exch_T is not None and type(tables) is BucketTables:
@@ -254,7 +254,7 @@ class ShardedMolecularDynamics(MolecularDynamics):
                 recv_idx=ridx,
                 recv_inv=rinv,
             )
-        return idx, mask, shift, nbr_elem, rev, overflow, tables
+        return idx, mask, shift, nbr_elem, rev, overflow, tables, pair_aux
 
     def init(self, coords: Array, *args, **kwargs) -> MDState:
         coords = jnp.asarray(coords)
@@ -291,13 +291,13 @@ class ShardedMolecularDynamics(MolecularDynamics):
             self._exch_T = max(8, -(-int(counts.max() * 1.35 + 4) // 8) * 8)
             self._build_jit = None  # reprogram: tables gain exchange maps
             self._runner_cache = {}
-            (idx, mask, shift, nbr_elem, rev, overflow, tables) = (
+            (idx, mask, shift, nbr_elem, rev, overflow, tables, pair_aux) = (
                 self._build_cache_jit(state.coords)
             )
             state = state.replace(
                 nbr_idx=idx, nbr_mask=mask, nbr_shift=shift,
                 nbr_elem=nbr_elem, nbr_rev=rev, overflow=overflow,
-                bucket=tables, ref_coords=state.coords,
+                bucket=tables, ref_coords=state.coords, pair_aux=pair_aux,
             )
             e, f = jax.jit(self._energy_and_forces)(state, state.coords)
             state = state.replace(energy=e, forces=f)

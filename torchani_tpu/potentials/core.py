@@ -205,6 +205,8 @@ class BasePairPotential(Potential):
             # the lane-select service rows live in flat single-system atom
             # space; only valid when the batch axis is trivial
             select_tables=neighbors.select_tables if c == 1 else None,
+            # frozen window channels ride in the same flat space
+            pair_aux=getattr(neighbors, "pair_aux", None) if c == 1 else None,
         )
         elem_flat = elem_idxs.reshape(-1)
         e = self.pair_energies(elem_flat, nb)  # (N, K)

@@ -165,7 +165,120 @@ class TwoBodyDispersionD3(BasePairPotential):
 
         return select_lane_values(values, neighbors)
 
+    def frozen_window_channels(
+        self, elem_flat: Array, neighbors: Neighbors
+    ) -> tp.Optional[Array]:
+        """(N, K, 33) per-lane TOPOLOGY CONSTANTS for Verlet-window caching.
+
+        Channels: rcov_sum (1), the 5x5 C6 reference grid (25),
+        sqrt_charge (1), damping radius (1), and the NEIGHBOR element's 5
+        CN reference values (5).  All are element-(pair)-keyed constants —
+        caching them across the Verlet window is EXACT, it just moves the
+        per-eval folded payload gather cluster (profiled at ~8 ms of the
+        config-5 slow eval, tools/profile_hetero_slow.py) to rebuild time.
+        The aux path of `pair_energies` then also (a) lane-selects the
+        coordination number at P=1 instead of the 5-channel Gaussian table
+        (the P=5 select + its layout plumbing profiled at ~9 ms) and (b)
+        contracts the interpolation without materializing the (N, K, 25)
+        Gaussian tensor.  A WINDOW-FROZEN C6 variant (drop the CN
+        machinery entirely between rebuilds) was measured and rejected:
+        the dC6/dCN force term rides the steep CN logistic at BONDED
+        distances (~5e-3 Ha/A at init) and NVE under 4 fs impulses went
+        non-finite at the equilibrated config-5 system.
+
+        Returns None when the factorized CN-reference form is unavailable
+        (`cn_refs is None`) — the driver then skips caching.
+        """
+        if self.cn_refs is None:
+            return None
+        rcov_pair = (
+            self.covalent_radii[:, None] + self.covalent_radii[None, :]
+        )
+        ec, en = self.elem_pairs(elem_flat, neighbors)
+        rcov_sum, pre_c6, sqrt_charge, damp_radii = self.pair_tables(
+            ec, en, rcov_pair, self.precalc_coeff6, self.sqrt_charge_ab,
+            self.damp_radii,
+        )
+        refs_nbr = jnp.take(self.cn_refs, en, axis=0)  # (N, K, 5)
+        return jnp.concatenate(
+            [
+                rcov_sum[..., None],
+                pre_c6,  # (N, K, 25), channel c = 5*r_i + r_j
+                sqrt_charge[..., None],
+                damp_radii[..., None],
+                refs_nbr,
+            ],
+            axis=-1,
+        )
+
     def pair_energies(self, elem_flat: Array, neighbors: Neighbors) -> Array:
+        dists = self.clamp(neighbors.dist) * self.ANGSTROM_TO_BOHR  # (N, K)
+        aux = getattr(neighbors, "pair_aux", None)
+        if aux is not None and self.cn_refs is not None:
+            c6_coeff, c8_coeff, damp = self._c6_c8_damp_cached(
+                elem_flat, neighbors, aux
+            )
+        else:
+            c6_coeff, c8_coeff, damp = self._c6_c8_damp(elem_flat, neighbors)
+        e6 = self.s6 * c6_coeff / (dists**6 + damp**6)
+        e8 = self.s8 * c8_coeff / (dists**8 + damp**8)
+        return -(e6 + e8)
+
+    def _c6_c8_damp_cached(
+        self, elem_flat: Array, neighbors: Neighbors, aux: Array
+    ) -> tp.Tuple[Array, Array, Array]:
+        """Exact C6/C8/damp from the cached constant channels (see
+        `frozen_window_channels`): live CN at P=1 select + per-lane
+        Gaussian factors + a gauss-free bilinear interpolation."""
+        dists = self.clamp(neighbors.dist) * self.ANGSTROM_TO_BOHR
+        rcov_sum = aux[..., 0]
+        pre_c6 = aux[..., 1:26].reshape(aux.shape[:-1] + (5, 5))
+        sqrt_charge = aux[..., 26]
+        damp_radii = aux[..., 27]
+        refs_nbr = aux[..., 28:33]  # (N, K, 5)
+
+        count_fn = 1.0 / (
+            1.0 + jnp.exp(-self._K1 * (self._K2 * rcov_sum / dists - 1.0))
+        )
+        count_fn = jnp.where(neighbors.mask, count_fn, 0.0)
+        coordnums = jnp.sum(count_fn, axis=-1)  # (N,)
+
+        refs = jnp.take(self.cn_refs, jnp.clip(elem_flat, 0), axis=0)
+        e_atom = jnp.exp(
+            -self._K3 * (coordnums[:, None] - refs) ** 2
+        )  # (N, 5)
+        cn_nbr = jnp.where(
+            neighbors.mask, self._select_rows(coordnums, neighbors), 0.0
+        )  # (N, K) — P=1 select
+        e_nbr = jnp.exp(
+            -self._K3 * (cn_nbr[..., None] - refs_nbr) ** 2
+        )  # (N, K, 5), per-lane transcendentals instead of a P=5 select
+        e_nbr = jnp.where(neighbors.mask[..., None], e_nbr, 0.0)
+
+        # bilinear interpolation without materializing the (N, K, 25)
+        # Gaussian tensor: z = e_atom^T C6ref e_nbr, w = e_atom^T S e_nbr
+        # with S the support mask of the reference grid (absent refs ride
+        # as pre_c6 == 0, exactly the guard of the uncached path)
+        support = (pre_c6 > 0.0).astype(e_nbr.dtype)  # (N, K, 5, 5)
+        zc = jnp.sum(pre_c6 * e_nbr[..., None, :], axis=-1)  # (N, K, 5)
+        wc = jnp.sum(support * e_nbr[..., None, :], axis=-1)
+        z_factor = (
+            jnp.sum(e_atom[:, None, :] * zc, axis=-1) + self._EPS
+        )
+        w_factor = (
+            jnp.sum(e_atom[:, None, :] * wc, axis=-1) + self._EPS
+        )
+        ok = w_factor > 1e-12
+        c6_coeff = jnp.where(
+            ok, z_factor / jnp.maximum(w_factor, 1e-12), 1.0
+        )
+        c8_coeff = 3 * c6_coeff * sqrt_charge
+        damp = self.a1 * damp_radii + self.a2
+        return c6_coeff, c8_coeff, damp
+
+    def _c6_c8_damp(
+        self, elem_flat: Array, neighbors: Neighbors
+    ) -> tp.Tuple[Array, Array, Array]:
         dists = self.clamp(neighbors.dist) * self.ANGSTROM_TO_BOHR  # (N, K)
         ec, en = self.elem_pairs(elem_flat, neighbors)
 
@@ -265,6 +378,4 @@ class TwoBodyDispersionD3(BasePairPotential):
         c8_coeff = 3 * c6_coeff * sqrt_charge
 
         damp = self.a1 * damp_radii + self.a2
-        e6 = self.s6 * c6_coeff / (dists**6 + damp**6)
-        e8 = self.s8 * c8_coeff / (dists**8 + damp**8)
-        return -(e6 + e8)
+        return c6_coeff, c8_coeff, damp
