@@ -124,7 +124,11 @@ def main():
             run_nve = lambda st, n: md.run(st, n)  # noqa: E731
         else:
             md = MolecularDynamics(
-                model, z[None], cell=cell, pbc=True, timestep_fs=timestep
+                model, z[None], cell=cell, pbc=True, timestep_fs=timestep,
+                freeze_pair_window=(
+                    () if (args.no_d3_cache or args.no_dispersion)
+                    else ("dispersion_d3",)
+                ),
             )
             run = lambda st, n, **kw: md.run_langevin(  # noqa: E731
                 st, n, temperature=300.0, **kw
