@@ -171,6 +171,12 @@ def main():
     state = timed(state, args.steps)
     e1 = total_e(state)
     dt = (time.perf_counter() - t0) / args.steps
+    ovf = bool(state.overflow if not args.mts else state.overflow)
+    print(
+        f"diag: e0={e0} e1={e1} overflow={ovf} "
+        f"rebuilds={int(state.rebuilds)}",
+        flush=True,
+    )
     assert np.isfinite(e1), "non-finite energy"
     if nve:
         print(
